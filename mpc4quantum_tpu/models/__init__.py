@@ -1,0 +1,14 @@
+from .dmdc import (
+    DMDcModel,
+    DiscrepDMDc,
+    OnlineDMDc,
+    dmdc_from_operator,
+    discrep_from_data,
+    discrep_fit_iteration,
+    online_from_bootstrap,
+    online_from_randn,
+    online_fit_iteration,
+    predict,
+    get_discrete,
+)
+from .training import train_model, prediction_loss

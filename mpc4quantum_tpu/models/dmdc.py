@@ -1,0 +1,215 @@
+"""DMDc model family as immutable pytrees with pure functional updates.
+
+Three forms, mirroring the reference capability set (reference model.py):
+  - `DMDcModel`: read-only container over the stacked operator
+    A (dim_y, dim_x + dim_u_lifted); predict / get_discrete views
+    (reference model.py:7-103).
+  - `DiscrepDMDc`: offline pinv fit + streaming discrepancy corrections over
+    a *fixed-capacity* snapshot buffer (reference model.py:109-213 grows
+    python lists; here zero-padded columns + a count give fixed shapes, which
+    is exact for the pinv because zero-padded columns of [Z | 0] contribute
+    nothing: pinv([Z|0]) = [pinv(Z); 0]).
+  - `OnlineDMDc`: rank-1 recursive-least-squares update (Zhang et al., as in
+    reference model.py:216-313) - the jit-native in-loop form.
+
+Discount semantics follow reference model.py:27: a forgetting half-life of k
+iterations corresponds to discount 2^(-1/k).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+# ---------------------------------------------------------------------------
+# Read-only DMDc container
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class DMDcModel:
+    """y = A_x x + A_u u with A = [A_x | A_u] (reference model.py:7-103)."""
+
+    A: jnp.ndarray  # (dim_y, dim_x + dim_u)
+    dim_y: int = struct.field(pytree_node=False)
+    dim_x: int = struct.field(pytree_node=False)
+    dim_u: int = struct.field(pytree_node=False)
+    discount: float = 1.0
+    rcond: float = 1e-15
+
+
+def dmdc_from_operator(A0, dim_y: int, dim_x: int, dim_u: int, **kw) -> DMDcModel:
+    return DMDcModel(A=jnp.asarray(A0), dim_y=dim_y, dim_x=dim_x, dim_u=dim_u, **kw)
+
+
+def get_discrete(model):
+    """(A_x, A_u) views (reference model.py:95-103)."""
+    return model.A[: model.dim_y, : model.dim_x], model.A[: model.dim_y, model.dim_x :]
+
+
+def predict(model, x, u):
+    """Predict y from x (dim_x, n) and u (dim_u, n) (reference model.py:81-93)."""
+    A_x, A_u = get_discrete(model)
+    x = x.reshape(model.dim_x, -1)
+    u = u.reshape(model.dim_u, -1)
+    return A_x @ x.astype(A_x.dtype) + A_u @ u.astype(A_u.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Offline / discrepancy DMDc
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class DiscrepDMDc:
+    """Discrepancy-corrected DMDc with a fixed-capacity snapshot buffer."""
+
+    A: jnp.ndarray  # (dim_y, dim_x + dim_u)
+    Y: jnp.ndarray  # (dim_y, capacity) zero-padded right-aligned history
+    X: jnp.ndarray  # (dim_x, capacity)
+    U: jnp.ndarray  # (dim_u, capacity)
+    count: jnp.ndarray  # () int, number of valid columns (<= capacity)
+    dim_y: int = struct.field(pytree_node=False)
+    dim_x: int = struct.field(pytree_node=False)
+    dim_u: int = struct.field(pytree_node=False)
+    capacity: int = struct.field(pytree_node=False)
+    discount: float = 1.0
+    rcond: float = 1e-15
+
+    @property
+    def min_rank(self) -> int:
+        # rank gate before applying discrepancy corrections
+        # (reference model.py:195)
+        return self.dim_x
+
+
+def _as_model(d: DiscrepDMDc) -> DMDcModel:
+    return DMDcModel(A=d.A, dim_y=d.dim_y, dim_x=d.dim_x, dim_u=d.dim_u)
+
+
+def discrep_from_data(Y, X, U=None, rcond=1e-15, capacity: int | None = None, discount=1.0) -> DiscrepDMDc:
+    """Offline fit A0 = Y pinv([X; U], rcond) (reference model.py:157-179).
+
+    rcond semantics match numpy: singular values <= rcond * s_max are zeroed.
+    """
+    Y = jnp.asarray(Y)
+    X = jnp.asarray(X)
+    dim_y, n = Y.shape
+    dim_x = X.shape[0]
+    if U is None:
+        dim_u = 0
+        Z = X
+        U = jnp.zeros((0, n), dtype=X.dtype)
+    else:
+        U = jnp.asarray(U)
+        dim_u = U.shape[0]
+        Z = jnp.concatenate([X, U.astype(X.dtype)], axis=0)
+    A0 = Y @ jnp.linalg.pinv(Z, rtol=rcond)
+    cap = n if capacity is None else capacity
+    pad = lambda M, d: jnp.zeros((d, cap), M.dtype).at[:, max(cap - n, 0) :].set(M[:, max(n - cap, 0) :])
+    return DiscrepDMDc(
+        A=A0, Y=pad(Y, dim_y), X=pad(X, dim_x), U=pad(U, dim_u),
+        count=jnp.asarray(min(n, cap)),
+        dim_y=dim_y, dim_x=dim_x, dim_u=dim_u, capacity=cap,
+        discount=discount, rcond=rcond,
+    )
+
+
+def discrep_bootstrap(A0, dim_y, dim_x, dim_u, capacity, discount=1.0, rcond=1e-15, dtype=None) -> DiscrepDMDc:
+    """Bootstrap from an initial operator with an empty buffer
+    (reference model.py:150-156)."""
+    A0 = jnp.asarray(A0)
+    dtype = dtype or A0.dtype
+    return DiscrepDMDc(
+        A=A0,
+        Y=jnp.zeros((dim_y, capacity), dtype),
+        X=jnp.zeros((dim_x, capacity), dtype),
+        U=jnp.zeros((dim_u, capacity), dtype),
+        count=jnp.asarray(0),
+        dim_y=dim_y, dim_x=dim_x, dim_u=dim_u, capacity=capacity,
+        discount=discount, rcond=rcond,
+    )
+
+
+def _shift_in(buf, col, discount):
+    """Append a column on the right, discounting history, dropping the oldest
+    if at capacity (reference model.py:181-191 semantics on a ring)."""
+    rolled = jnp.roll(buf * discount, -1, axis=1)
+    return rolled.at[:, -1].set(col.reshape(-1))
+
+
+def discrep_fit_iteration(d: DiscrepDMDc, next_y, next_x, next_u) -> DiscrepDMDc:
+    """Streaming discrepancy update (reference model.py:186-207).
+
+    Appends the new snapshot, then - if the state history has rank >= dim_x -
+    adds the correction A += (Y - A Z) pinv(Z). Fixed shapes throughout: the
+    rank gate becomes a `where` on the correction.
+    """
+    Y = _shift_in(d.Y, jnp.asarray(next_y, d.Y.dtype), d.discount)
+    X = _shift_in(d.X, jnp.asarray(next_x, d.X.dtype), d.discount)
+    U = _shift_in(d.U, jnp.asarray(next_u, d.U.dtype), d.discount) if d.dim_u else d.U
+    count = jnp.minimum(d.count + 1, d.capacity)
+
+    Z = jnp.concatenate([X, U], axis=0)
+    svals = jnp.linalg.svd(X, compute_uv=False)
+    tol = jnp.max(svals) * max(X.shape) * jnp.finfo(svals.dtype).eps
+    rank = jnp.sum(svals > tol)
+
+    model = DMDcModel(A=d.A, dim_y=d.dim_y, dim_x=d.dim_x, dim_u=d.dim_u)
+    resid = Y - predict(model, X, U)
+    A1 = resid @ jnp.linalg.pinv(Z, rtol=d.rcond)
+    A_new = jnp.where(rank >= d.min_rank, d.A + A1, d.A)
+    return d.replace(A=A_new, Y=Y, X=X, U=U, count=count)
+
+
+# ---------------------------------------------------------------------------
+# Online (RLS) DMDc
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class OnlineDMDc:
+    """Recursive-least-squares DMDc (reference model.py:216-313)."""
+
+    A: jnp.ndarray  # (dim_y, dim_z)
+    P: jnp.ndarray  # (dim_z, dim_z) inverse-covariance proxy
+    dim_y: int = struct.field(pytree_node=False)
+    dim_x: int = struct.field(pytree_node=False)
+    dim_u: int = struct.field(pytree_node=False)
+    discount: float = 1.0
+
+
+def online_from_bootstrap(A0, dim_y, dim_x, dim_u, alpha=1e2, discount=1.0) -> OnlineDMDc:
+    """P0 = alpha I (reference model.py:276-279)."""
+    A0 = jnp.asarray(A0)
+    dim_z = dim_x + dim_u
+    return OnlineDMDc(A=A0, P=alpha * jnp.eye(dim_z, dtype=A0.dtype),
+                      dim_y=dim_y, dim_x=dim_x, dim_u=dim_u, discount=discount)
+
+
+def online_from_randn(key, dim_y, dim_x, dim_u, sigma=1.0, alpha=1e2, discount=1.0, dtype=jnp.float64) -> OnlineDMDc:
+    """Random-normal bootstrap (reference model.py:241-260)."""
+    dim_z = dim_x + dim_u
+    A0 = sigma * jax.random.normal(key, (dim_y, dim_z), dtype=jnp.float64).astype(dtype)
+    return OnlineDMDc(A=A0, P=alpha * jnp.eye(dim_z, dtype=dtype),
+                      dim_y=dim_y, dim_x=dim_x, dim_u=dim_u, discount=discount)
+
+
+def online_fit_iteration(m: OnlineDMDc, next_y, next_x, next_u) -> OnlineDMDc:
+    """Rank-1 RLS update (reference model.py:295-313):
+        gamma = 1/(1 + z^T P z); A += gamma (y - A z) (P z)^T;
+        P = (P - gamma (P z)(P z)^T) / discount.
+    """
+    y = jnp.asarray(next_y, m.A.dtype).reshape(-1, 1)
+    z = jnp.concatenate(
+        [jnp.asarray(next_x, m.A.dtype).reshape(-1, 1),
+         jnp.asarray(next_u, m.A.dtype).reshape(-1, 1)], axis=0
+    )
+    Az = m.A @ z
+    Pz = m.P @ z
+    gamma = 1.0 / (1.0 + (z.T @ Pz)[0, 0])
+    A_new = m.A + gamma * (y - Az) @ Pz.T
+    P_new = (m.P - gamma * Pz @ Pz.T) / m.discount
+    return m.replace(A=A_new, P=P_new)

@@ -1,0 +1,13 @@
+from .quantum import (
+    QuantumPlant,
+    LiftKind,
+    lift_state,
+    proj_state,
+    quantum_step,
+    quantum_simulate,
+    partial_trace_lift,
+    tensor_proj,
+    truncate_lift,
+)
+from .synthesis import SynthesisPlant, lift_unitary, proj_process, synthesis_simulate
+from .classical import ClassicalPlant, VanDerPol, Rotor, rk4_simulate

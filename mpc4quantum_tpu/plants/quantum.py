@@ -1,0 +1,171 @@
+"""Quantum plants: exact piecewise-constant propagation in Hilbert space.
+
+Replaces qutip.mesolve (reference experiment.py:175-212, `QExperiment`) with
+unitary conjugation rho' = U rho U^H, U = expm(-i dt H(u)) per step. For the
+zero-order-hold controls used throughout (the reference stitches controls
+with interp1d kind='previous', reference mpc.py:258), this is *exact* - no
+integration error - and it batches over (steps x scenarios) as fused matmul
+chains on the MXU.
+
+Measurement-space adapters ("lift"/"proj") mirror the reference plant family:
+  - IDENTITY: model space == experiment space (QExperiment).
+  - TRUNCATE: 3-level transmon measured in the 2-level subspace - lift
+    truncates + renormalizes, proj returns the 2x2 state (keeping the
+    reference's quirk that the zero-padded 3x3 is dead code,
+    reference experiment.py:215-235).
+  - PARTIAL_TRACE: coupled pair lifted to stacked single-qubit states
+    [vec(rho_A); vec(rho_B)], proj = tensor product
+    (reference experiment.py:238-306).
+
+Measurement noise: i.i.d. complex Gaussian of scale sigma added to observed
+states (reference experiment.py:212), drawn from an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.expm import expm_pade, step_generators
+from ..utils.linalg import isqrt
+
+
+class LiftKind(enum.Enum):
+    IDENTITY = "identity"
+    TRUNCATE = "truncate"  # d-level plant observed in a k-level subspace
+    PARTIAL_TRACE = "partial_trace"  # bipartite plant observed per subsystem
+
+
+@struct.dataclass
+class QuantumPlant:
+    """Bilinear quantum plant dρ/dt = -i[H0 + Σ u_i H1_i, ρ]."""
+
+    H0: jnp.ndarray  # (d, d)
+    H1s: jnp.ndarray  # (dim_u, d, d)
+    sigma: jnp.ndarray  # measurement noise scale (scalar array)
+    lift_kind: LiftKind = struct.field(pytree_node=False, default=LiftKind.IDENTITY)
+    lift_dim: int = struct.field(pytree_node=False, default=0)  # subspace dim for TRUNCATE
+
+    @property
+    def dim_s(self) -> int:
+        return self.H0.shape[0]
+
+    @property
+    def dim_u(self) -> int:
+        return self.H1s.shape[0]
+
+    @classmethod
+    def create(cls, H0, H1s, sigma=0.0, lift_kind=LiftKind.IDENTITY, lift_dim=0):
+        H0 = jnp.asarray(H0)
+        if hasattr(H1s, "ndim") and getattr(H1s, "ndim", 0) == 3:
+            H1s = jnp.asarray(H1s, H0.dtype)
+        else:
+            H1s = jnp.stack([jnp.asarray(H, H0.dtype) for H in H1s])
+        rdtype = jnp.zeros(0, H0.dtype).real.dtype
+        return cls(H0=H0, H1s=H1s, sigma=jnp.asarray(sigma, rdtype),
+                   lift_kind=lift_kind, lift_dim=lift_dim)
+
+
+# ---------------------------------------------------------------------------
+# lift / proj adapters
+# ---------------------------------------------------------------------------
+
+
+def truncate_lift(rho_vec, dim_full: int, dim_sub: int):
+    """rho (dim_full^2,) -> truncated+renormalized (dim_sub^2,)
+    (reference experiment.py:225-228)."""
+    rho = rho_vec.reshape(dim_full, dim_full)[:dim_sub, :dim_sub]
+    tr = jnp.trace(rho)
+    return (rho / tr).reshape(-1)
+
+
+def partial_trace_lift(rho_vec):
+    """vec(rho_AB) -> [vec(rho_A); vec(rho_B)] for identical subsystems
+    (reference experiment.py:248-285, as two einsum traces)."""
+    dim_ab = isqrt(rho_vec.shape[0])
+    d = isqrt(dim_ab)
+    rho = rho_vec.reshape(d, d, d, d)  # (a, b, a', b') of rho[(a b), (a' b')]
+    rho_a = jnp.einsum("ajbj->ab", rho)
+    rho_b = jnp.einsum("jajb->ab", rho)
+    return jnp.concatenate([rho_a.reshape(-1), rho_b.reshape(-1)])
+
+
+def tensor_proj(stacked_vec):
+    """[vec(rho_A); vec(rho_B)] -> vec(rho_A x rho_B)
+    (reference experiment.py:287-306)."""
+    d2 = stacked_vec.shape[0] // 2
+    d = isqrt(d2)
+    rho_a = stacked_vec[:d2].reshape(d, d)
+    rho_b = stacked_vec[d2:].reshape(d, d)
+    return jnp.kron(rho_a, rho_b).reshape(-1)
+
+
+def lift_state(plant: QuantumPlant, x):
+    """Experiment state -> model space (the lift/proj pair is the adapter the
+    MPC driver uses throughout, reference experiment.py:29-37)."""
+    if plant.lift_kind is LiftKind.IDENTITY:
+        return x
+    if plant.lift_kind is LiftKind.TRUNCATE:
+        return truncate_lift(x, plant.dim_s, plant.lift_dim)
+    if plant.lift_kind is LiftKind.PARTIAL_TRACE:
+        return partial_trace_lift(x)
+    raise ValueError(plant.lift_kind)
+
+
+def proj_state(plant: QuantumPlant, z):
+    """Model space -> experiment state."""
+    if plant.lift_kind is LiftKind.IDENTITY:
+        return z
+    if plant.lift_kind is LiftKind.TRUNCATE:
+        # parity quirk: the reference returns the 2x2 vec, not the zero-padded
+        # 3x3 (reference experiment.py:230-235)
+        return z.reshape(-1)
+    if plant.lift_kind is LiftKind.PARTIAL_TRACE:
+        return tensor_proj(z)
+    raise ValueError(plant.lift_kind)
+
+
+# ---------------------------------------------------------------------------
+# propagation
+# ---------------------------------------------------------------------------
+
+
+def quantum_step(plant: QuantumPlant, rho_vec, u, dt):
+    """One exact ZOH step: rho' = U rho U^H, U = expm(-i dt H(u))."""
+    d = plant.dim_s
+    H = plant.H0 + jnp.einsum("u,udc->dc", jnp.asarray(u).reshape(-1).astype(plant.H1s.dtype), plant.H1s)
+    U = expm_pade((-1j * dt) * H)
+    rho = rho_vec.reshape(d, d)
+    return (U @ rho @ U.conj().T).reshape(-1)
+
+
+def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None):
+    """Propagate over a control trajectory, returning all intermediate states.
+
+    :param x0: (d^2,) vec(rho) initial state.
+    :param us: (dim_u, n) ZOH controls.
+    :param key: optional PRNG key; when given, adds complex Gaussian
+        measurement noise of scale sigma to the returned trajectory
+        (reference experiment.py:212).
+    :return: (d^2, n+1) states including x0.
+    """
+    d = plant.dim_s
+    Hs = step_generators(plant.H0, plant.H1s, us)
+    Us = expm_pade((-1j * dt) * Hs)  # (n, d, d) batched on MXU
+
+    def step(rho, U):
+        rho_n = U @ rho @ U.conj().T
+        return rho_n, rho_n
+
+    rho0 = x0.reshape(d, d).astype(Us.dtype)
+    _, rhos = jax.lax.scan(step, rho0, Us)
+    xs = jnp.concatenate([rho0.reshape(1, -1), rhos.reshape(rhos.shape[0], -1)], axis=0).T
+    if key is not None:
+        kr, ki = jax.random.split(key)
+        rdtype = xs.real.dtype
+        noise = jax.random.normal(kr, xs.shape, dtype=rdtype) + 1j * jax.random.normal(ki, xs.shape, dtype=rdtype)
+        xs = xs + plant.sigma * noise
+    return xs

@@ -1,0 +1,159 @@
+"""Condensed horizon QP: eliminate states, solve a box QP in controls only.
+
+The reference solves the LTV tracking problem with CVXPY+OSQP over complex
+state variables and real controls (reference optimize.py:12-60), rebuilding
+the symbolic problem every IQP iteration. Here the dynamics equalities
+
+    x_{t+1} = Delta_t + A_t x_t + B_t u_t,   x_0 = x_init
+
+are eliminated by condensing: x = w + M vec(U) with w the free response and M
+the (complex) control-to-state map, built by a `lax.scan` over the horizon.
+The tracking cost
+
+    J(U) = sum_t Re[(x_t - xbm_t)^H Q_t (x_t - xbm_t)]
+         + sum_t (u_t - ubm_t)^T R_t (u_t - ubm_t)         (+ terminal Qf)
+
+then becomes the real quadratic J = U^T P U + 2 q^T U + c with
+    P = Re(M^H Qbar M) + Rbar,   q = Re(M^H Qbar (w - xbm)) - Rbar ubm,
+and the reference's constraints collapse to a single box on U:
+  - saturation |u_t| <= sat every step (reference optimize.py:43)
+  - first-step slew |u_0 - u_prev| <= du, first step ONLY
+    (reference optimize.py:29-30 - per-step slew is commented out there)
+both intersected into elementwise [lb, ub]. The box QP is solved by ADMM
+(boxqp.py) with a single Cholesky factorization. The returned X is the exact
+rollout of the dynamics under U_opt, so dynamics feasibility is exact (OSQP
+only satisfies it to tolerance).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxqp import BoxQPParams, solve_boxqp
+
+
+class QPResult(NamedTuple):
+    X: jnp.ndarray  # (dim_x, H+1) complex optimal states (exact rollout)
+    U: jnp.ndarray  # (dim_u, H) real optimal controls
+    obj: jnp.ndarray  # scalar objective value
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def condense_horizon(A_s, B_s, Delta_s, x_init):
+    """Build the affine state map x = w + M vec(U).
+
+    :param A_s: (H, dim_x, dim_x) complex; :param B_s: (H, dim_x, dim_u);
+    :param Delta_s: (H, dim_x); :param x_init: (dim_x,).
+    :return: w (H+1, dim_x), M (H+1, dim_x, H, dim_u). vec(U) stacks
+        u_0..u_{H-1} (time-major), so M[t, :, s, :] maps u_s -> x_t.
+    """
+    H, dim_x, dim_u = B_s.shape
+    eye_H = jnp.eye(H, dtype=B_s.dtype)
+
+    def step(carry, inp):
+        w_t, M_t = carry  # (dim_x,), (dim_x, H, dim_u)
+        A_t, B_t, d_t, onehot_t = inp
+        w_n = d_t + A_t @ w_t
+        M_n = jnp.einsum("xy,yhd->xhd", A_t, M_t) + B_t[:, None, :] * onehot_t[None, :, None]
+        return (w_n, M_n), (w_n, M_n)
+
+    w0 = x_init.astype(A_s.dtype)
+    M0 = jnp.zeros((dim_x, H, dim_u), dtype=A_s.dtype)
+    (_, _), (w_tail, M_tail) = jax.lax.scan(step, (w0, M0), (A_s, B_s, Delta_s, eye_H))
+    w = jnp.concatenate([w0[None], w_tail], axis=0)
+    M = jnp.concatenate([M0[None], M_tail], axis=0)
+    return w, M
+
+
+def _assemble_cost(w, M, X_bm, U_bm, Q_s, R_s):
+    """P, q, c of J(U) = U^T P U + 2 q^T U + c over vec(U)."""
+    Hp1, dim_x, H, dim_u = M.shape
+    n = H * dim_u
+    Mf = M.reshape(Hp1, dim_x, n)
+    e = w - X_bm.T  # (H+1, dim_x) free-response tracking error
+    QM = jnp.einsum("txy,tyn->txn", Q_s, Mf)
+    Qe = jnp.einsum("txy,ty->tx", Q_s, e)
+    P = jnp.real(jnp.einsum("txn,txm->nm", jnp.conj(Mf), QM))
+    q = jnp.real(jnp.einsum("txn,tx->n", jnp.conj(Mf), Qe))
+    c = jnp.real(jnp.einsum("tx,tx->", jnp.conj(e), Qe))
+
+    # control cost: block-diagonal R over time
+    Rr = jnp.real(R_s)  # controls are real; only Re(R) contributes
+    ubm = U_bm.T.reshape(n)  # time-major vec
+    # block-diagonal R assembled by scatter against a time-indexed identity
+    eyeH = jnp.eye(H, dtype=Rr.dtype)
+    Pu = jnp.einsum("tij,ts->tisj", Rr, eyeH).reshape(n, n)
+    qu = -(Pu @ ubm)
+    cu = ubm @ (Pu @ ubm)
+    return P + Pu, q + qu, c + cu
+
+
+def _box_bounds(dim_u, H, sat, u_prev, du, dtype):
+    """Intersect saturation and first-step slew into elementwise bounds."""
+    n = H * dim_u
+    sat = jnp.broadcast_to(jnp.asarray(sat, dtype=dtype), (dim_u,))
+    lb = jnp.tile(-sat, H)
+    ub = jnp.tile(sat, H)
+    if u_prev is not None and du is not None:
+        du = jnp.broadcast_to(jnp.asarray(du, dtype=dtype), (dim_u,))
+        u_prev = jnp.asarray(u_prev, dtype=dtype).reshape(dim_u)
+        lb = lb.at[:dim_u].set(jnp.maximum(-sat, u_prev - du))
+        ub = ub.at[:dim_u].set(jnp.minimum(sat, u_prev + du))
+    return lb, ub
+
+
+def quad_program(
+    x_init,
+    X_bm,
+    U_bm,
+    Q_s,
+    R_s,
+    A_s,
+    B_s,
+    Delta_s,
+    u_prev=None,
+    sat=None,
+    du=None,
+    U_warm=None,
+    params: BoxQPParams | None = None,
+) -> QPResult:
+    """Solve the LTV horizon tracking QP (reference optimize.py:12-60 shape).
+
+    :param x_init: (dim_x,) complex initial state.
+    :param X_bm: (dim_x, H+1) state benchmarks; :param U_bm: (dim_u, H).
+    :param Q_s: (H+1, dim_x, dim_x) per-step state costs (incl. terminal);
+    :param R_s: (H, dim_u, dim_u) control costs.
+    :param A_s/B_s/Delta_s: per-step affine dynamics from `model_along_traj`.
+    :param sat: saturation bound (required, as in the reference where sat=None
+        crashes the CVXPY build, reference optimize.py:43). Use jnp.inf to
+        disable.
+    :param U_warm: optional (dim_u, H) warm start for ADMM.
+    """
+    H = U_bm.shape[1]
+    dim_u = U_bm.shape[0]
+    w, M = condense_horizon(A_s, B_s, Delta_s, x_init)
+    P, q, _ = _assemble_cost(w, M, X_bm, U_bm, Q_s, R_s)
+    rdtype = P.dtype
+    lb, ub = _box_bounds(dim_u, H, sat if sat is not None else jnp.inf, u_prev, du, rdtype)
+    x0 = None if U_warm is None else U_warm.T.reshape(-1).astype(rdtype)
+    res = solve_boxqp(P, q, lb, ub, x0=x0, params=params)
+
+    Uvec = res.x
+    U_opt = Uvec.reshape(H, dim_u).T
+    X_opt = (w + jnp.einsum("txhd,hd->tx", M, Uvec.reshape(H, dim_u).astype(M.dtype))).T
+    obj = objective_value(X_opt, U_opt, X_bm, U_bm, Q_s, R_s)
+    return QPResult(X=X_opt, U=U_opt, obj=obj, iters=res.iters, converged=res.converged)
+
+
+def objective_value(X, U, X_bm, U_bm, Q_s, R_s):
+    """Tracking objective at (X, U) - matches the reference QP objective
+    (reference optimize.py:34-54: per-step Re quad forms + terminal)."""
+    ex = (X - X_bm).T  # (H+1, dim_x)
+    eu = (U - U_bm).T  # (H, dim_u)
+    jx = jnp.real(jnp.einsum("tx,txy,ty->", jnp.conj(ex), Q_s, ex))
+    ju = jnp.real(jnp.einsum("ti,tij,tj->", eu, jnp.real(R_s).astype(eu.dtype), eu))
+    return jx + ju

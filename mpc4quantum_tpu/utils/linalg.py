@@ -1,0 +1,60 @@
+"""Small linear-algebra helpers shared across the engine.
+
+Parity notes: real/complex embeddings follow the convention of the reference
+MPC helpers (reference mpc.py:82-98) - `complex_to_real_op` builds the
+[[Re, -Im], [Im, Re]] block embedding.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+
+def default_cdtype():
+    """Complex dtype matching the currently enabled precision."""
+    return jnp.complex128 if jnp.zeros(0).dtype == jnp.float64 else jnp.complex64
+
+
+def default_rdtype():
+    return jnp.zeros(0).dtype
+
+
+def complex_to_real(z):
+    """Complex vector of length n -> real vector of length 2n (Re then Im)."""
+    z = jnp.asarray(z)
+    return jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=0)
+
+
+def real_to_complex(x):
+    """Real vector of length 2n -> complex vector of length n."""
+    x = jnp.asarray(x)
+    n = x.shape[0] // 2
+    return x[:n] + 1j * x[n:]
+
+
+def complex_to_real_op(P):
+    """Complex operator -> real [[Re, -Im], [Im, Re]] block embedding."""
+    P = jnp.asarray(P)
+    return jnp.block([[jnp.real(P), -jnp.imag(P)], [jnp.imag(P), jnp.real(P)]])
+
+
+def real_to_complex_op(P):
+    row, col = P.shape
+    return P[: row // 2, : col // 2] + 1j * P[row // 2 :, : col // 2]
+
+
+def isqrt(n: int) -> int:
+    """Integer square root of a python int (static shapes only)."""
+    return math.isqrt(n)
+
+
+def split_blocks(bmatrix, nrows: int, ncols: int):
+    """Split a (R, C) block matrix into its (R/nrows * C/ncols, nrows, ncols)
+    sub-blocks, ordered row-major over the block grid
+    (behavioral parity with reference experiment.py:309-315)."""
+    r, c = bmatrix.shape
+    return (
+        bmatrix.reshape(r // nrows, nrows, c // ncols, ncols)
+        .swapaxes(1, 2)
+        .reshape(-1, nrows, ncols)
+    )

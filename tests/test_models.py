@@ -1,0 +1,134 @@
+"""DMDc model family oracles: pinv fit vs numpy lstsq, RLS convergence to the
+batch solution, discrepancy streaming vs a plain-numpy reimplementation of the
+reference semantics, and the rcond-sweep trainer recovering a known model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpc4quantum_tpu.models.dmdc import (
+    dmdc_from_operator,
+    get_discrete,
+    predict,
+    discrep_from_data,
+    discrep_bootstrap,
+    discrep_fit_iteration,
+    online_from_bootstrap,
+    online_fit_iteration,
+)
+from mpc4quantum_tpu.models.training import train_model, prediction_loss
+from mpc4quantum_tpu.ops.library import control_powers, lift_controls, krtimes
+
+
+def make_linear_system(rng, dim_x=4, dim_u=2, n=60):
+    A_true = rng.normal(size=(dim_x, dim_x)) * 0.3 + np.eye(dim_x) * 0.7
+    B_true = rng.normal(size=(dim_x, dim_u)) * 0.5
+    X = rng.normal(size=(dim_x, n))
+    U = rng.normal(size=(dim_u, n))
+    Y = A_true @ X + B_true @ U
+    return A_true, B_true, X, U, Y
+
+
+def test_predict_and_views():
+    rng = np.random.default_rng(0)
+    A_true, B_true, X, U, Y = make_linear_system(rng)
+    A0 = np.hstack([A_true, B_true])
+    model = dmdc_from_operator(jnp.asarray(A0), 4, 4, 2)
+    A_x, A_u = get_discrete(model)
+    np.testing.assert_allclose(np.asarray(A_x), A_true)
+    np.testing.assert_allclose(np.asarray(A_u), B_true)
+    np.testing.assert_allclose(np.asarray(predict(model, jnp.asarray(X), jnp.asarray(U))), Y, atol=1e-12)
+
+
+def test_discrep_from_data_recovers_operator():
+    rng = np.random.default_rng(1)
+    A_true, B_true, X, U, Y = make_linear_system(rng)
+    d = discrep_from_data(jnp.asarray(Y), jnp.asarray(X), jnp.asarray(U), rcond=1e-10)
+    np.testing.assert_allclose(np.asarray(d.A), np.hstack([A_true, B_true]), atol=1e-8)
+
+
+def test_discrep_rcond_truncation():
+    # rank-deficient data: large rcond must regularize (match numpy pinv)
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(4, 30))
+    X[3] = X[0]  # collinear row -> ill-conditioned Z
+    Y = rng.normal(size=(4, 30))
+    for rcond in (1e-12, 1e-2):
+        d = discrep_from_data(jnp.asarray(Y), jnp.asarray(X), None, rcond=rcond)
+        A_np = Y @ np.linalg.pinv(X, rcond=rcond)
+        np.testing.assert_allclose(np.asarray(d.A), A_np, atol=1e-8)
+
+
+def test_discrep_fit_iteration_matches_reference_semantics():
+    # plain-numpy reimplementation of reference model.py:186-207 as oracle
+    rng = np.random.default_rng(3)
+    dim_x, dim_u = 3, 2
+    A0 = rng.normal(size=(dim_x, dim_x + dim_u))
+    cap = 12
+    d = discrep_bootstrap(jnp.asarray(A0), dim_x, dim_x, dim_u, capacity=cap, rcond=1e-12)
+
+    Y_hist, X_hist, U_hist = None, None, None
+    A_ref = A0.copy()
+    discount = 1.0
+    for it in range(8):
+        x = rng.normal(size=dim_x)
+        u = rng.normal(size=dim_u)
+        y = rng.normal(size=dim_x)
+        d = discrep_fit_iteration(d, jnp.asarray(y), jnp.asarray(x), jnp.asarray(u))
+
+        stack = lambda v, S: v.reshape(-1, 1) if S is None else np.hstack([discount * S, v.reshape(-1, 1)])
+        Y_hist, X_hist, U_hist = stack(y, Y_hist), stack(x, X_hist), stack(u, U_hist)
+        if np.linalg.matrix_rank(X_hist) >= dim_x:
+            Z = np.vstack([X_hist, U_hist])
+            pred = A_ref[:, :dim_x] @ X_hist + A_ref[:, dim_x:] @ U_hist
+            A_ref = A_ref + (Y_hist - pred) @ np.linalg.pinv(Z, rcond=1e-12)
+        np.testing.assert_allclose(np.asarray(d.A), A_ref, atol=1e-7, err_msg=f"iter {it}")
+
+
+def test_online_rls_converges_to_batch_fit():
+    rng = np.random.default_rng(4)
+    A_true, B_true, X, U, Y = make_linear_system(rng, n=200)
+    m = online_from_bootstrap(jnp.zeros((4, 6)), 4, 4, 2, alpha=1e3)
+    for t in range(200):
+        m = online_fit_iteration(m, jnp.asarray(Y[:, t]), jnp.asarray(X[:, t]), jnp.asarray(U[:, t]))
+    np.testing.assert_allclose(np.asarray(m.A), np.hstack([A_true, B_true]), atol=1e-2)
+
+
+def test_online_rls_jits_and_scans():
+    rng = np.random.default_rng(5)
+    A_true, B_true, X, U, Y = make_linear_system(rng, n=100)
+    m0 = online_from_bootstrap(jnp.zeros((4, 6)), 4, 4, 2, alpha=1e3)
+
+    def step(m, data):
+        y, x, u = data
+        return online_fit_iteration(m, y, x, u), None
+
+    m_scan, _ = jax.lax.scan(step, m0, (jnp.asarray(Y.T), jnp.asarray(X.T), jnp.asarray(U.T)))
+    m_loop = m0
+    for t in range(100):
+        m_loop = online_fit_iteration(m_loop, jnp.asarray(Y[:, t]), jnp.asarray(X[:, t]), jnp.asarray(U[:, t]))
+    np.testing.assert_allclose(np.asarray(m_scan.A), np.asarray(m_loop.A), atol=1e-10)
+
+
+def test_train_model_recovers_bilinear_model():
+    # Generate data from a known bilinear model and verify the sweep trainer
+    # selects a model with near-zero rollout loss.
+    rng = np.random.default_rng(6)
+    order, dim_u, dim_x = 2, 1, 4
+    powers = control_powers(order, dim_u)[1:]
+    Lm = powers.shape[0]
+    A_x = np.eye(dim_x) + 0.05 * rng.normal(size=(dim_x, dim_x))
+    A_u = 0.1 * rng.normal(size=(dim_x, Lm * dim_x))
+    n = 80
+    us = rng.normal(size=(dim_u, n))
+    UL = np.asarray(lift_controls(jnp.asarray(us), powers))
+    X = np.zeros((dim_x, n + 1))
+    X[:, 0] = rng.normal(size=dim_x)
+    for t in range(n):
+        ux = np.asarray(krtimes(jnp.asarray(UL[:, t : t + 1]), jnp.asarray(X[:, t : t + 1])))[:, 0]
+        X[:, t + 1] = A_x @ X[:, t] + A_u @ ux
+    X2, X1, UL1 = X[:, 1:], X[:, :-1], UL
+    model, best_rcond, losses = train_model(jnp.asarray(X2), jnp.asarray(X1), jnp.asarray(UL1))
+    assert float(jnp.min(jnp.asarray(losses))) < 1e-4
+    loss_best = prediction_loss(model.A, dim_x, jnp.asarray(X2), jnp.asarray(X1), jnp.asarray(UL1))
+    assert float(loss_best) < 1e-4
