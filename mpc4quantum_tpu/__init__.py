@@ -61,5 +61,8 @@ from .plants.quantum import (
 from .plants.synthesis import SynthesisPlant, lift_unitary, proj_process, synthesis_simulate
 from .plants.classical import ClassicalPlant, VanDerPol, Rotor, rk4_simulate
 from . import plants, models, ops, solvers, utils
+from .mpc.clock import StepClock, val_to_str
+from .mpc.driver import MPCConfig, MPCResult, make_mpc_step, trim
+from .mpc.driver import mpc  # note: shadows the submodule; m4q.mpc(...) is the entry point
 
-# MPC driver and fleet layers are re-exported here as they land.
+# Fleet layer re-exported here as it lands.

@@ -1,0 +1,358 @@
+"""Receding-horizon MPC driver: one `lax.scan` over steps, an inner
+`lax.while_loop` SQP (iterative-QP), masked early exit.
+
+Control-flow parity with reference mpc.py:128-304 (`mpc`), re-expressed as
+fixed-shape masked computation:
+  - SDRE-style initial guess: X_guess = repeat(lift(x0)), U_guess = 0
+    (reference mpc.py:139-142)
+  - inner IQP: linearize along guess -> QP -> exact quadratic line search ->
+    blend guesses; exit on step < 1e-4 (reference mpc.py:173-229). With
+    warm_start, steps > 1 collapse to a single full-step QP
+    (reference mpc.py:208-212).
+  - u_prev quirk preserved: the slew box is referenced to the *benchmark*
+    control at steps 0 AND 1 (`step > 1`, reference mpc.py:185).
+  - reference-window lag preserved: the tracking window for step s is
+    X_targ[:, s-1 : s-1+H+1] for s >= 1 (the reference shifts the window
+    at the *end* of the previous step, reference mpc.py:276-277).
+  - measure_freq: the true plant is propagated one exact ZOH step per control
+    (semigroup-equal to the reference's stitched re-simulation from the last
+    measured state, reference mpc.py:252-259); at measurement steps the loop
+    state is re-seeded with the (noisy) observation, otherwise it closes the
+    loop through the model (reference mpc.py:261-267).
+  - exit codes as data: 0 completed, 1 exit_condition met, 2 QP failure,
+    3 non-finite objective (reference mpc.py:193-203, 289-304).
+
+Deliberate deviations (documented):
+  - Streaming model refits feed BOTH the predictor and the linearizer. In the
+    reference, `WrapModel` captures numpy views of the initial operator, so
+    refits silently never reach the controller (reference mpc.py:156 vs
+    model.py:199) - we consider that a bug, not behavior to keep.
+  - The line search is evaluated by exact 3-point parabola fit on the
+    tracking cost (the cost is exactly quadratic along the step direction),
+    algebraically identical to the gradient formula of reference
+    mpc.py:101-125 without building the real-embedded block cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.bilinear import BilinearModel, model_along_traj
+from ..ops.library import krtimes
+from ..solvers.boxqp import BoxQPParams
+from ..solvers.condense import quad_program, objective_value
+from ..models.dmdc import DMDcModel, predict
+from ..plants.quantum import QuantumPlant, lift_state, proj_state, quantum_step
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Static configuration of the MPC loop (shapes + flags)."""
+
+    horizon: int
+    n_steps: int
+    dt: float
+    dim_u: int
+    order: int
+    measure_freq: int = 1
+    max_iter: int = 100
+    warm_start: bool = True
+    streaming: bool = False
+    step_tol: float = 1e-4
+    qp_params: BoxQPParams = dataclasses.field(default_factory=BoxQPParams)
+
+
+class MPCResult(NamedTuple):
+    xs: jnp.ndarray        # (dim_e, n_steps+1) experiment-space trajectory
+    us: jnp.ndarray        # (dim_u, n_steps) applied controls
+    exit_code: jnp.ndarray  # () int32: 0 ok, 1 exit_condition, 2 QP fail, 3 inf obj
+    n_valid: jnp.ndarray   # () int32: number of executed steps (us[:, :n_valid])
+    objs: jnp.ndarray      # (n_steps,) per-step QP objective
+    sqp_iters: jnp.ndarray  # (n_steps,) inner IQP iterations used
+    model_A: jnp.ndarray   # final (possibly refit) stacked model operator
+    model_state: object    # final full model pytree (None if not streaming)
+
+
+def _line_search_alpha(Q_s, R_s, X_ref, U_ref, X_guess, U_guess, X_opt, U_opt, step_tol):
+    """Exact quadratic line search along (opt - guess) on the tracking cost.
+
+    The cost is a PSD quadratic, so three evaluations determine the parabola
+    phi(alpha) exactly; alpha* = -b/(2a). Mirrors reference mpc.py:101-125.
+    Returns (alpha, small_step).
+    """
+    dX = X_opt - X_guess
+    dU = U_opt - U_guess
+
+    def phi(alpha):
+        return objective_value(X_guess + alpha * dX, U_guess + alpha * dU, X_ref, U_ref, Q_s, R_s)
+
+    p0, ph, p1 = phi(0.0), phi(0.5), phi(1.0)
+    a = 2.0 * (p1 + p0 - 2.0 * ph)
+    b = p1 - p0 - a
+    alpha = jnp.where(jnp.abs(a) > 1e-30, -b / (2.0 * jnp.where(jnp.abs(a) > 1e-30, a, 1.0)), 1.0)
+    alpha = jnp.where(jnp.isfinite(alpha), alpha, 1.0)
+    # Deviation from reference mpc.py:121 (which leaves alpha unclamped): the
+    # cost parabola can be nearly flat along the step direction, making
+    # -b/(2a) arbitrarily large and exploding the guess trajectory. Clamp to
+    # the convex segment [0, 1] - the damping the line search exists for.
+    alpha = jnp.clip(alpha, 0.0, 1.0)
+    dz_norm = jnp.sqrt(jnp.sum(jnp.abs(dX) ** 2) + jnp.sum(jnp.abs(dU) ** 2))
+    new_step = jnp.abs(alpha) * dz_norm
+    return alpha, new_step < step_tol
+
+
+def make_mpc_step(
+    config: MPCConfig,
+    Q_s,
+    R_s,
+    sat,
+    du=None,
+    plant_step_fn: Callable = quantum_step,
+    lift_fn: Callable = lift_state,
+    proj_fn: Callable = proj_state,
+    model_update_fn: Optional[Callable] = None,
+    exit_condition: Optional[Callable] = None,
+):
+    """Build the jittable per-step MPC transition function.
+
+    The returned function has signature
+        step_fn(carry, step_idx, plant, model_state, X_targ, U_targ)
+            -> (carry_new, model_state_new, outputs)
+    and is what both `mpc` (under scan) and the compile-check entrypoint use.
+    model_state_new == model_state unless streaming updates are configured.
+
+    :param Q_s: (H+1, dim_x, dim_x) per-step + terminal state costs.
+    :param R_s: (H, dim_u, dim_u) control costs.
+    :param plant_step_fn: (plant, x, u, dt) -> x_next, one exact plant step.
+    :param lift_fn/proj_fn: (plant, x) -> z / (plant, z) -> x adapters.
+    :param model_update_fn: optional streaming update
+        (model_state, y, x, ux) -> model_state (e.g. online_fit_iteration).
+    :param exit_condition: optional (x_next, x, u) -> bool scalar
+        (reference mpc.py:289-292).
+    """
+    H = config.horizon
+    dim_u = config.dim_u
+
+    def step_fn(carry, step, plant, model_state, X_targ, U_targ):
+        (x_cur, X_guess, U_guess, u_last, key, exit_code, done) = carry
+        dim_x = X_guess.shape[0]
+
+        # --- reference window (with the reference's one-step lag quirk) ---
+        start = jnp.maximum(step - 1, 0)
+        X_ref = jax.lax.dynamic_slice(X_targ, (0, start), (dim_x, H + 1))
+        U_ref = jax.lax.dynamic_slice(U_targ, (0, start), (dim_u, H))
+
+        # --- fixed per-step quantities ---
+        bmodel = BilinearModel.from_stacked(
+            model_state.A[:, :dim_x], model_state.A[:, dim_x:], dim_u, config.order
+        )
+        lift_x = lift_fn(plant, x_cur)
+        # u_prev quirk (reference mpc.py:185): benchmark control at steps 0, 1
+        u_prev = jnp.where(step > 1, u_last, U_ref[:, 0])
+
+        # --- inner IQP/SQP loop ---
+        single_shot = jnp.logical_and(jnp.asarray(config.warm_start), step > 1)
+
+        def iqp_cond(s):
+            (_, _, _, _, _, n_iter, iqp_done, _) = s
+            return jnp.logical_and(~iqp_done, n_iter < config.max_iter)
+
+        def iqp_body(s):
+            (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code) = s
+            A_s, B_s, D_s = model_along_traj(bmodel, Xg[:, :H], Ug)
+            res = quad_program(
+                lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
+                u_prev=u_prev, sat=sat, du=du, U_warm=Ug, params=config.qp_params,
+            )
+            qp_fail = ~res.converged
+            obj_inf = ~jnp.isfinite(res.obj)
+            new_code = jnp.where(qp_fail, 2, jnp.where(obj_inf, 3, 0)).astype(jnp.int32)
+
+            alpha_ls, small = _line_search_alpha(
+                Q_s, R_s, X_ref, U_ref, Xg, Ug, res.X, res.U, config.step_tol
+            )
+            alpha = jnp.where(single_shot, 1.0, alpha_ls)
+            iqp_done = jnp.logical_or(single_shot, small)
+            iqp_done = jnp.logical_or(iqp_done, new_code > 0)
+
+            # on QP failure the reference breaks BEFORE updating the guess
+            upd = (new_code == 0).astype(Xg.real.dtype)
+            Xg_new = Xg + upd * alpha * (res.X - Xg)
+            Ug_new = Ug + upd * alpha * (res.U - Ug)
+            return (Xg_new, Ug_new, res.X, res.U, res.obj, n_iter + 1, iqp_done, new_code)
+
+        init = (X_guess, U_guess, X_guess, U_guess, jnp.asarray(jnp.inf, X_guess.real.dtype),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code) = jax.lax.while_loop(iqp_cond, iqp_body, init)
+
+        step_failed = iqp_code > 0
+
+        # --- apply first control; propagate true plant + observation ---
+        u_apply = U_opt[:, 0]
+        key, k_noise = jax.random.split(key)
+        x_plant = plant_step_fn(plant, x_cur, u_apply, config.dt)
+
+        is_measure = ((step + 1) % config.measure_freq) == 0
+        # observation: true plant (with measurement noise) at measure steps,
+        # model-closed-loop prediction otherwise
+        rdtype = x_plant.real.dtype
+        noise = plant.sigma * (
+            jax.random.normal(k_noise, x_plant.shape, rdtype)
+            + 1j * jax.random.normal(jax.random.fold_in(k_noise, 1), x_plant.shape, rdtype)
+        ) if hasattr(plant, "sigma") else 0.0
+        x_measured = x_plant + noise
+
+        lift_u = bmodel.lift_u(u_apply.reshape(-1, 1))
+        ux = krtimes(lift_u.astype(lift_x.dtype), lift_x.reshape(-1, 1))
+        dmdc = DMDcModel(A=model_state.A, dim_y=dim_x, dim_x=dim_x, dim_u=model_state.A.shape[1] - dim_x)
+        x_model = proj_fn(plant, predict(dmdc, lift_x.reshape(-1, 1), ux)[:, 0])
+        x_next = jnp.where(is_measure, x_measured, x_model)
+
+        # --- streaming model refit ---
+        if model_update_fn is not None and config.streaming:
+            lift_next = lift_fn(plant, x_next)
+            model_new = model_update_fn(model_state, lift_next, lift_x, ux[:, 0])
+            model_state = jax.tree.map(
+                lambda old, new: jnp.where(jnp.logical_or(done, step_failed), old, new),
+                model_state, model_new,
+            )
+
+        # --- guess/target shifting (reference mpc.py:71-73, 271-272) ---
+        Xg_shift = jnp.concatenate([Xg[:, 1:], Xg[:, -1:]], axis=1)
+        Ug_shift = jnp.concatenate([Ug[:, 1:], Ug[:, -1:]], axis=1)
+
+        # --- exit bookkeeping ---
+        cond_exit = (
+            exit_condition(x_next, x_cur, u_apply) if exit_condition is not None else jnp.asarray(False)
+        )
+        new_code = jnp.where(
+            step_failed, iqp_code, jnp.where(cond_exit, 1, 0)
+        ).astype(jnp.int32)
+        active = ~jnp.logical_or(done, step_failed)  # control applied this step
+
+        sel = lambda old, new: jnp.where(done, old, new)
+        carry_new = (
+            sel(x_cur, jnp.where(step_failed, x_cur, x_next)),
+            sel(X_guess, Xg_shift),
+            sel(U_guess, Ug_shift),
+            sel(u_last, jnp.where(step_failed, u_last, u_apply)),
+            key,
+            jnp.where(done, exit_code, new_code),
+            jnp.logical_or(done, jnp.logical_or(step_failed, cond_exit)),
+        )
+        outputs = (
+            carry_new[0],  # x after this step
+            jnp.where(active, u_apply, jnp.zeros_like(u_apply)),
+            jnp.where(done, jnp.zeros_like(obj), obj),
+            jnp.where(done, 0, n_iter).astype(jnp.int32),
+            active,
+        )
+        return carry_new, model_state, outputs
+
+    return step_fn
+
+
+def mpc(
+    x0,
+    model_state,
+    plant,
+    X_targ,
+    U_targ,
+    Q,
+    R,
+    Qf,
+    config: MPCConfig,
+    sat,
+    du=None,
+    key=None,
+    plant_step_fn: Callable = quantum_step,
+    lift_fn: Callable = lift_state,
+    proj_fn: Callable = proj_state,
+    model_update_fn: Optional[Callable] = None,
+    exit_condition: Optional[Callable] = None,
+) -> MPCResult:
+    """Run the full receding-horizon MPC loop (reference mpc.py:128-304).
+
+    :param x0: (dim_e,) experiment-space initial state.
+    :param model_state: pytree with field `.A` - the stacked model operator
+        (dim_x, dim_x * (1 + L-1)); e.g. DMDcModel / OnlineDMDc / DiscrepDMDc.
+    :param plant: plant pytree (QuantumPlant by default); vmappable, so
+        scenario batches can carry per-lane plant parameters.
+    :param X_targ: (dim_x, n_steps + H + 1) target trajectory;
+        :param U_targ: (dim_u, n_steps + H).
+    :param Q, R, Qf: cost matrices ((dim_x,dim_x), (dim_u,dim_u), (dim_x,dim_x)).
+    :param config: static MPCConfig.
+    :param key: PRNG key for measurement noise (default PRNGKey(0)).
+    :return: MPCResult with fixed-shape outputs + exit_code/n_valid metadata.
+    """
+    H, n_steps, dim_u = config.horizon, config.n_steps, config.dim_u
+    x0 = jnp.asarray(x0)
+    cdtype = model_state.A.dtype if jnp.iscomplexobj(model_state.A) else jnp.asarray(X_targ).dtype
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    lift_x0 = lift_fn(plant, x0)
+    dim_x = lift_x0.shape[0]
+    Q_s = jnp.concatenate(
+        [jnp.broadcast_to(jnp.asarray(Q, cdtype), (H, dim_x, dim_x)),
+         jnp.asarray(Qf, cdtype)[None]], axis=0,
+    )
+    R_s = jnp.broadcast_to(jnp.asarray(R), (H, dim_u, dim_u))
+
+    step_fn = make_mpc_step(
+        config, Q_s, R_s, sat, du,
+        plant_step_fn=plant_step_fn, lift_fn=lift_fn, proj_fn=proj_fn,
+        model_update_fn=model_update_fn, exit_condition=exit_condition,
+    )
+
+    X_guess0 = jnp.tile(lift_x0[:, None].astype(cdtype), (1, H + 1))
+    U_guess0 = jnp.zeros((dim_u, H), jnp.asarray(sat).dtype if hasattr(sat, "dtype") else X_guess0.real.dtype)
+    carry0 = (
+        x0.astype(cdtype),
+        X_guess0,
+        U_guess0,
+        U_targ[:, 0].astype(U_guess0.dtype),
+        key,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+
+    Xt = jnp.asarray(X_targ, cdtype)
+    Ut = jnp.asarray(U_targ)
+
+    def scan_body(carry_and_model, step):
+        carry, mstate = carry_and_model
+        carry_new, m_new, outs = step_fn(carry, step, plant, mstate, Xt, Ut)
+        return (carry_new, m_new), outs
+
+    (carry_f, model_f), (xs_steps, us_steps, objs, iters, active) = jax.lax.scan(
+        scan_body, (carry0, model_state), jnp.arange(n_steps)
+    )
+
+    xs = jnp.concatenate([x0[None].astype(cdtype), xs_steps], axis=0).T
+    us = us_steps.T
+    n_valid = jnp.sum(active.astype(jnp.int32))
+    return MPCResult(
+        xs=xs, us=us,
+        exit_code=carry_f[5], n_valid=n_valid,
+        objs=objs, sqp_iters=iters,
+        model_A=model_f.A, model_state=model_f,
+    )
+
+
+def trim(result: MPCResult):
+    """Python-side trimming that mirrors the reference's early-exit slicing
+    (reference mpc.py:294-304): returns (xs, us) cut to the executed steps."""
+    import numpy as np
+
+    n = int(result.n_valid)
+    code = int(result.exit_code)
+    xs = np.asarray(result.xs)
+    us = np.asarray(result.us)
+    if code in (0, 1):
+        return xs[:, : n + 1], us[:, :n]
+    return xs[:, : n + 1], us[:, :n]

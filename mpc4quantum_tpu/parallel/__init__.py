@@ -1,0 +1,7 @@
+from .fleet import (
+    batched_mpc,
+    sharded_mpc,
+    make_scenario_batch,
+    scenario_mesh,
+    fleet_summary,
+)

@@ -120,9 +120,16 @@ def proj_state(plant: QuantumPlant, z):
     if plant.lift_kind is LiftKind.IDENTITY:
         return z
     if plant.lift_kind is LiftKind.TRUNCATE:
-        # parity quirk: the reference returns the 2x2 vec, not the zero-padded
-        # 3x3 (reference experiment.py:230-235)
-        return z.reshape(-1)
+        # Deviation from the reference quirk: reference proj builds the
+        # zero-padded 3x3 but returns the 2x2 vec (dead code at
+        # experiment.py:230-235, shape-inconsistent with the plant space).
+        # Fixed shapes require the zero-padded full-space state - which is
+        # what that dead code intended.
+        k = plant.lift_dim
+        d = plant.dim_s
+        rho_full = jnp.zeros((d, d), z.dtype)
+        rho_full = rho_full.at[:k, :k].set(z.reshape(k, k))
+        return rho_full.reshape(-1)
     if plant.lift_kind is LiftKind.PARTIAL_TRACE:
         return tensor_proj(z)
     raise ValueError(plant.lift_kind)

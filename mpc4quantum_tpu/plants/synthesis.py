@@ -72,6 +72,18 @@ def proj_process(P_vec):
     return U.reshape(-1)
 
 
+def synthesis_step(plant: SynthesisPlant, p, u, dt):
+    """One exact ZOH step directly in process space:
+    P' = (U_k (x) U_k^*) P with U_k = expm(-i dt H(u)) - the process-matrix
+    form of right-composing the propagator (reference experiment.py:410-413).
+    """
+    n = plant.dim_s
+    H = plant.H0 + jnp.einsum("u,udc->dc", jnp.asarray(u).reshape(-1).astype(plant.H1s.dtype), plant.H1s)
+    Uk = expm_pade((-1j * dt) * H)
+    K = jnp.kron(Uk, Uk.conj())
+    return (K @ p.reshape(n * n, n * n).astype(K.dtype)).reshape(-1)
+
+
 def synthesis_simulate(plant: SynthesisPlant, p0, us, dt):
     """Propagate the process state over a ZOH control trajectory.
 

@@ -9,14 +9,16 @@ condense.py), so the OSQP generality of a sparse constraint matrix
 the special case A = I:
 
     x~_{k+1} = (P + (sigma+rho) I)^{-1} (sigma x_k - q + rho z_k - y_k)
-    x_{k+1}  = alpha x~ + (1-alpha) x_k
     z_{k+1}  = clip(alpha x~ + (1-alpha) z_k + y_k/rho, lb, ub)
     y_{k+1}  = y_k + rho (alpha x~ + (1-alpha) z_k - z_{k+1})
 
-One Cholesky factorization per QP (vs CVXPY re-canonicalizing the whole
-problem every IQP iteration, reference mpc.py:189/optimize.py:18-58); the
-iteration is a `lax.while_loop` of (n,n) triangular solves, n = H*dim_u <=
-~150, which batches cleanly under vmap across scenarios.
+Termination uses OSQP's relative residual criteria; rho is adapted by the
+OSQP residual-balancing rule across a small static number of refactorization
+rounds (each round = one Cholesky + a bounded `lax.while_loop` of (n,n)
+triangular solves, n = H*dim_u <= ~150). Everything batches cleanly under
+vmap across scenarios; vs CVXPY re-canonicalizing the whole problem every
+IQP iteration (reference mpc.py:189 / optimize.py:18-58) the per-solve cost
+is a handful of small dense factorizations.
 """
 
 from __future__ import annotations
@@ -30,18 +32,26 @@ from flax import struct
 
 @struct.dataclass
 class BoxQPParams:
-    rho: float = 0.1
+    rho0: float = 0.1
     sigma: float = 1e-6
     alpha: float = 1.6
-    eps_abs: float = 1e-7
-    max_iter: int = struct.field(pytree_node=False, default=1000)
-    check_every: int = struct.field(pytree_node=False, default=10)
+    eps_abs: float = 1e-8
+    eps_rel: float = 1e-8
+    max_iter: int = struct.field(pytree_node=False, default=400)
+    n_rounds: int = struct.field(pytree_node=False, default=4)
+    check_every: int = struct.field(pytree_node=False, default=5)
+    # acceptance thresholds for reporting success: the solver *targets*
+    # eps_abs/eps_rel but a solve is only declared failed beyond these
+    # (OSQP's own defaults are 1e-3/1e-3 - the tolerance the reference
+    # effectively ran with via CVXPY, reference optimize.py:59)
+    accept_abs: float = 1e-4
+    accept_rel: float = 1e-4
 
 
 class BoxQPResult(NamedTuple):
     x: jnp.ndarray  # primal solution (projected: feasible)
     y: jnp.ndarray  # dual of the box constraint
-    iters: jnp.ndarray  # iterations used
+    iters: jnp.ndarray  # total iterations used
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
     converged: jnp.ndarray  # bool
@@ -61,52 +71,78 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None) -> Box
     n = q.shape[0]
     dtype = q.dtype
     P = 0.5 * (P + P.T)
+    sigma = jnp.asarray(params.sigma, dtype)
+    eye = jnp.eye(n, dtype=dtype)
 
-    # Scale rho by the problem: rho relative to typical curvature improves
-    # conditioning of the splitting for badly scaled costs.
+    # initial rho scaled to the problem's curvature
     diag_scale = jnp.maximum(jnp.mean(jnp.diag(P)), 1e-12)
-    rho = params.rho * diag_scale
-    sigma = params.sigma
-
-    K = P + (sigma + rho) * jnp.eye(n, dtype=dtype)
-    L = jnp.linalg.cholesky(K)
-
-    def kkt_solve(rhs):
-        return jax.scipy.linalg.cho_solve((L, True), rhs)
+    rho_init = params.rho0 * diag_scale
 
     x_init = jnp.clip(jnp.zeros(n, dtype=dtype) if x0 is None else x0, lb, ub)
-    z_init = x_init
     y_init = jnp.zeros(n, dtype=dtype)
 
+    inf_norm = lambda v: jnp.max(jnp.abs(v))
+
     def residuals(x, z, y):
-        prim = jnp.max(jnp.abs(x - z))
-        dual = jnp.max(jnp.abs(P @ x + q + y))
-        return prim, dual
-
-    def cond(state):
-        x, z, y, it, done = state
-        return jnp.logical_and(~done, it < params.max_iter)
-
-    def body(state):
-        x, z, y, it, _ = state
-        x_t = kkt_solve(sigma * x - q + rho * z - y)
-        # relaxation on the z-update argument (standard OSQP form)
-        z_arg = params.alpha * x_t + (1 - params.alpha) * z
-        z_new = jnp.clip(z_arg + y / rho, lb, ub)
-        y_new = y + rho * (z_arg - z_new)
-        x_new = x_t
-        it = it + 1
-        prim, dual = residuals(x_new, z_new, y_new)
-        done = jnp.logical_and(
-            it % params.check_every == 0,
-            jnp.logical_and(prim < params.eps_abs, dual < params.eps_abs * diag_scale),
+        prim = inf_norm(x - z)
+        dual = inf_norm(P @ x + q + y)
+        # OSQP relative scalings (A = I: Ax = x)
+        eps_prim = params.eps_abs + params.eps_rel * jnp.maximum(inf_norm(x), inf_norm(z))
+        eps_dual = params.eps_abs + params.eps_rel * jnp.maximum(
+            jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
         )
-        return x_new, z_new, y_new, it, done
+        return prim, dual, eps_prim, eps_dual
 
-    x, z, y, iters, done = jax.lax.while_loop(
-        cond, body, (x_init, z_init, y_init, jnp.array(0), jnp.array(False))
+    def run_round(carry, _):
+        x, z, y, rho, it_total, converged = carry
+
+        K = P + (sigma + rho) * eye
+        L = jnp.linalg.cholesky(K)
+        solve = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+
+        def cond(s):
+            x, z, y, it, done = s
+            return jnp.logical_and(~done, it < params.max_iter)
+
+        def body(s):
+            x, z, y, it, _ = s
+            x_t = solve(sigma * x - q + rho * z - y)
+            z_arg = params.alpha * x_t + (1 - params.alpha) * z
+            z_new = jnp.clip(z_arg + y / rho, lb, ub)
+            y_new = y + rho * (z_arg - z_new)
+            it = it + 1
+            prim, dual, ep, ed = residuals(x_t, z_new, y_new)
+            done = jnp.logical_and(
+                it % params.check_every == 0,
+                jnp.logical_and(prim <= ep, dual <= ed),
+            )
+            return x_t, z_new, y_new, it, done
+
+        x, z, y, it_round, done_round = jax.lax.while_loop(
+            cond, body, (x, z, y, jnp.asarray(0), converged)
+        )
+        prim, dual, ep, ed = residuals(x, z, y)
+        converged = jnp.logical_and(prim <= ep, dual <= ed)
+
+        # OSQP rho adaptation: balance scaled primal/dual residuals
+        prim_scaled = prim / jnp.maximum(jnp.maximum(inf_norm(x), inf_norm(z)), 1e-12)
+        dual_scaled = dual / jnp.maximum(
+            jnp.maximum(inf_norm(P @ x), jnp.maximum(inf_norm(q), inf_norm(y))), 1e-12
+        )
+        ratio = jnp.sqrt(prim_scaled / jnp.maximum(dual_scaled, 1e-16))
+        rho_new = jnp.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale)
+        rho = jnp.where(converged, rho, rho_new)
+        return (x, z, y, rho, it_total + it_round, converged), None
+
+    carry0 = (x_init, x_init, y_init, jnp.asarray(rho_init, dtype), jnp.asarray(0), jnp.asarray(False))
+    (x, z, y, rho, iters, converged), _ = jax.lax.scan(run_round, carry0, None, length=params.n_rounds)
+
+    prim, dual, ep, ed = residuals(x, z, y)
+    acc_p = params.accept_abs + params.accept_rel * jnp.maximum(inf_norm(x), inf_norm(z))
+    acc_d = params.accept_abs + params.accept_rel * jnp.maximum(
+        jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
     )
-    prim, dual = residuals(x, z, y)
-    converged = jnp.logical_and(prim < 10 * params.eps_abs, dual < 10 * params.eps_abs * diag_scale)
+    converged = jnp.logical_and(prim <= jnp.maximum(10 * ep, acc_p),
+                                dual <= jnp.maximum(10 * ed, acc_d))
     # Return the projected iterate: always box-feasible.
     return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual, converged=converged)
