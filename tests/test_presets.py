@@ -1,0 +1,97 @@
+"""Scenario-preset tests: every BASELINE.json workload runs closed-loop and
+meets a quality bar (upgrading the reference's plot-only scenario tests,
+reference test_mpc4quantum.py:280-804, to real assertions)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import mpc4quantum_tpu as m4q
+from mpc4quantum_tpu import presets
+from mpc4quantum_tpu.plants.quantum import partial_trace_lift
+
+
+def run(sc, seed=1):
+    return m4q.mpc(**sc.mpc_args(), key=jax.random.PRNGKey(seed))
+
+
+def test_not_state_preset():
+    sc = presets.not_state()
+    res = run(sc)
+    assert int(res.exit_code) == 0
+    p1 = float(jnp.real(res.xs[3, -1]))
+    assert p1 > 0.99, p1
+
+
+def test_not_state_freq_preset():
+    sc = presets.not_state_freq()
+    res = run(sc)
+    assert int(res.exit_code) == 0
+    p1 = float(jnp.real(res.xs[3, -1]))
+    assert p1 > 0.95, p1
+
+
+def test_drag_state_preset():
+    sc = presets.drag_state()
+    res = run(sc)
+    assert int(res.exit_code) == 0
+    # P(|1>) of the 3-level density matrix, and bounded leakage to |2>
+    xf = np.asarray(res.xs)[:, -1].reshape(3, 3)
+    assert float(np.real(xf[1, 1])) > 0.99
+    assert float(np.real(xf[2, 2])) < 0.01
+    # controls respect the saturation box
+    assert np.all(np.abs(np.asarray(res.us)) <= sc.sat + 1e-6)
+
+
+def test_drag_state_order2():
+    sc = presets.drag_state(order=2)
+    res = run(sc)
+    xf = np.asarray(res.xs)[:, -1].reshape(3, 3)
+    assert float(np.real(xf[1, 1])) > 0.99
+
+
+def test_crosstalk_preset():
+    # per-qubit models control a crosstalk-coupled plant through the
+    # partial-trace lift; warm_start=False, measure_freq=2
+    sc = presets.crosstalk(coupling=0.05)
+    res = run(sc)
+    assert int(res.exit_code) == 0
+    z = np.asarray(partial_trace_lift(jnp.asarray(np.asarray(res.xs)[:, -1])))
+    assert float(np.real(z[3])) > 0.99   # qubit 1 flipped
+    assert float(np.real(z[4])) > 0.99   # qubit 2 held
+
+
+def test_cnot_state_preset():
+    # the large config: dim 16, 3 controls, H=50, n=200, ramped target
+    sc = presets.cnot_state()
+    res = run(sc)
+    assert int(res.exit_code) == 0
+    xf = np.asarray(res.xs)[:, -1].reshape(4, 4)
+    # target |01><01|: population at (1,1) index of the 4-level system
+    assert float(np.real(xf[1, 1])) > 0.95, float(np.real(xf[1, 1]))
+
+
+def test_not_gate_preset_reference_length():
+    # at the reference's n=50 the gate cannot complete (max rotation 2.5 rad
+    # < pi); assert the controller does the optimal thing: saturate and
+    # monotonically reduce the process cost to its reachable floor
+    sc = presets.not_gate()
+    res = run(sc)
+    assert int(res.exit_code) == 0
+    us = np.asarray(res.us)[0]
+    assert np.all(np.abs(us) <= sc.sat + 1e-6)
+    assert np.mean(np.abs(us[5:]) > 0.99 * sc.sat) > 0.9  # saturated drive
+    xs = np.asarray(res.xs)
+    costs = np.array([np.real(np.vdot(x - sc.target_state, x - sc.target_state)) for x in xs.T])
+    assert costs[-1] < 0.2 * costs[0]
+
+
+def test_not_gate_completes_with_enough_steps():
+    sc = presets.not_gate(n_steps=90)
+    res = run(sc)
+    # exit condition (process cost < 1e-2) fires early
+    assert int(res.exit_code) == 1
+    assert int(res.n_valid) < 90
+    xf = np.asarray(res.xs)[:, int(res.n_valid)]
+    d = xf - sc.target_state
+    assert float(np.real(np.vdot(d, d))) < 1e-2
