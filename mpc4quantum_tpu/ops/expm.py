@@ -42,6 +42,23 @@ _B = (
 _THETA_13 = 5.371920351148152
 
 
+def _solve(A, B):
+    """Batched linear solve; complex systems are solved through the real
+    block embedding [[Re, -Im], [Im, Re]] so only a *real* LU runs on the
+    device (complex LU is not implemented on all TPU backend paths, while
+    complex add/mul/matmul decompose fine)."""
+    if not jnp.issubdtype(A.dtype, jnp.complexfloating):
+        return jnp.linalg.solve(A, B)
+    d = A.shape[-1]
+    Ar = jnp.concatenate(
+        [jnp.concatenate([A.real, -A.imag], axis=-1),
+         jnp.concatenate([A.imag, A.real], axis=-1)], axis=-2,
+    )
+    Br = jnp.concatenate([B.real, B.imag], axis=-2)
+    Xr = jnp.linalg.solve(Ar, Br)
+    return jax.lax.complex(Xr[..., :d, :], Xr[..., d:, :])
+
+
 @partial(jax.jit, static_argnames=("max_squarings",))
 def expm_pade(A, max_squarings: int = 16):
     """Matrix exponential of A, batched over leading dimensions.
@@ -80,7 +97,7 @@ def expm_pade(A, max_squarings: int = 16):
         + _B[2] * A2
         + _B[0] * eye
     )
-    R = jnp.linalg.solve(V - U, V + U)
+    R = _solve(V - U, V + U)
 
     # Masked squaring: square exactly `s` times under a static loop bound.
     def body(i, R):

@@ -1,3 +1,4 @@
+from .cxio import CxPair, split_cx, merge_cx, fetch_cx, cx_jit
 from .linalg import (
     complex_to_real,
     real_to_complex,
