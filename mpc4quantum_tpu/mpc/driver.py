@@ -45,7 +45,8 @@ from flax import struct
 from ..ops.bilinear import BilinearModel, model_along_traj
 from ..ops.library import krtimes
 from ..solvers.boxqp import BoxQPParams
-from ..solvers.condense import quad_program, objective_value
+from ..solvers.condense import quad_program, objective_value, QPResult
+from ..solvers.lqr import lqr_quad_program
 from ..models.dmdc import DMDcModel, predict
 from ..plants.quantum import QuantumPlant, lift_state, proj_state, quantum_step
 
@@ -65,6 +66,11 @@ class MPCConfig:
     streaming: bool = False
     step_tol: float = 1e-4
     qp_params: BoxQPParams = dataclasses.field(default_factory=BoxQPParams)
+    # "qp": condensed box-QP via ADMM (reference optimize.py semantics);
+    # "lqr": solver-free affine-tracking LQR with clipped controls
+    # (reference lqr.py semantics, Delta-consistent) - no first-step slew
+    # box, but no inner iterative solver: the fast path.
+    solver: str = "qp"
 
 
 class MPCResult(NamedTuple):
@@ -165,10 +171,17 @@ def make_mpc_step(
         def iqp_body(s):
             (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code) = s
             A_s, B_s, D_s = model_along_traj(bmodel, Xg[:, :H], Ug)
-            res = quad_program(
-                lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
-                u_prev=u_prev, sat=sat, du=du, U_warm=Ug, params=config.qp_params,
-            )
+            if config.solver == "lqr":
+                lres = lqr_quad_program(
+                    lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, sat=sat, Delta_s=D_s
+                )
+                res = QPResult(X=lres.X, U=lres.U, obj=lres.cost,
+                               iters=jnp.asarray(0), converged=jnp.asarray(True))
+            else:
+                res = quad_program(
+                    lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
+                    u_prev=u_prev, sat=sat, du=du, U_warm=Ug, params=config.qp_params,
+                )
             qp_fail = ~res.converged
             obj_inf = ~jnp.isfinite(res.obj)
             new_code = jnp.where(qp_fail, 2, jnp.where(obj_inf, 3, 0)).astype(jnp.int32)

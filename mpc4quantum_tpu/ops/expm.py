@@ -42,21 +42,7 @@ _B = (
 _THETA_13 = 5.371920351148152
 
 
-def _solve(A, B):
-    """Batched linear solve; complex systems are solved through the real
-    block embedding [[Re, -Im], [Im, Re]] so only a *real* LU runs on the
-    device (complex LU is not implemented on all TPU backend paths, while
-    complex add/mul/matmul decompose fine)."""
-    if not jnp.issubdtype(A.dtype, jnp.complexfloating):
-        return jnp.linalg.solve(A, B)
-    d = A.shape[-1]
-    Ar = jnp.concatenate(
-        [jnp.concatenate([A.real, -A.imag], axis=-1),
-         jnp.concatenate([A.imag, A.real], axis=-1)], axis=-2,
-    )
-    Br = jnp.concatenate([B.real, B.imag], axis=-2)
-    Xr = jnp.linalg.solve(Ar, Br)
-    return jax.lax.complex(Xr[..., :d, :], Xr[..., d:, :])
+from ..utils.linalg import cx_solve as _solve  # real-embedded complex solve
 
 
 @partial(jax.jit, static_argnames=("max_squarings",))

@@ -5,3 +5,4 @@ from .fleet import (
     scenario_mesh,
     fleet_summary,
 )
+from .mesh import init_distributed, fleet_mesh, scaling_report

@@ -43,6 +43,28 @@ def real_to_complex_op(P):
     return P[: row // 2, : col // 2] + 1j * P[row // 2 :, : col // 2]
 
 
+def cx_solve(A, B):
+    """Batched linear solve; complex systems are solved through the real
+    block embedding [[Re, -Im], [Im, Re]] so only a *real* LU runs on the
+    device (complex LU is not implemented on all TPU backend paths, while
+    complex add/mul/matmul decompose fine)."""
+    import jax
+
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    if not jnp.issubdtype(A.dtype, jnp.complexfloating):
+        return jnp.linalg.solve(A, B.real if jnp.issubdtype(B.dtype, jnp.complexfloating) else B)
+    d = A.shape[-1]
+    Ar = jnp.concatenate(
+        [jnp.concatenate([A.real, -A.imag], axis=-1),
+         jnp.concatenate([A.imag, A.real], axis=-1)], axis=-2,
+    )
+    B = B.astype(A.dtype)
+    Br = jnp.concatenate([B.real, B.imag], axis=-2)
+    Xr = jnp.linalg.solve(Ar, Br)
+    return jax.lax.complex(Xr[..., :d, :], Xr[..., d:, :])
+
+
 def isqrt(n: int) -> int:
     """Integer square root of a python int (static shapes only)."""
     return math.isqrt(n)

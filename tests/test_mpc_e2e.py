@@ -162,3 +162,19 @@ def test_streaming_model_update_runs():
     # and the control still preps the state
     p1 = float(jnp.real(res.xs[3, -1]))
     assert p1 > 0.95, f"final P(|1>) = {p1}"
+
+
+def test_lqr_solver_mode():
+    """solver='lqr': the solver-free fast path (reference lqr.py semantics
+    made live) still preps the state, just below the QP's fidelity (clipped
+    LQR cannot honor the slew box and saturates suboptimally)."""
+    import dataclasses
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    cfg = dataclasses.replace(config, solver="lqr")
+    res = m4q.mpc(jnp.asarray(rho0), model, plant, X_targ, U_targ, Q, R, Qf,
+                  cfg, sat=sat, du=du, key=jax.random.PRNGKey(1))
+    assert int(res.exit_code) == 0
+    p1 = float(jnp.real(res.xs[3, -1]))
+    assert p1 > 0.95, p1
+    assert np.all(np.abs(np.asarray(res.us)) <= sat + 1e-8)
