@@ -317,10 +317,13 @@ def mpc(
     lift_x0 = lift_fn(plant, x0)
     dim_x = lift_x0.shape[0]
     Q_s = jnp.concatenate(
-        [jnp.broadcast_to(jnp.asarray(Q, cdtype), (H, dim_x, dim_x)),
+        [jnp.tile(jnp.asarray(Q, cdtype)[None], (H, 1, 1)),
          jnp.asarray(Qf, cdtype)[None]], axis=0,
     )
-    R_s = jnp.broadcast_to(jnp.asarray(R), (H, dim_u, dim_u))
+    # tile (materialize) instead of broadcast_to: degenerate-stride operands
+    # inside deeply nested control flow hit backend limitations on some TPU
+    # paths
+    R_s = jnp.tile(jnp.asarray(R)[None], (H, 1, 1))
 
     step_fn = make_mpc_step(
         config, Q_s, R_s, sat, du,
@@ -344,14 +347,52 @@ def mpc(
     Xt = jnp.asarray(X_targ, cdtype)
     Ut = jnp.asarray(U_targ)
 
-    def scan_body(carry_and_model, step):
-        carry, mstate = carry_and_model
-        carry_new, m_new, outs = step_fn(carry, step, plant, mstate, Xt, Ut)
-        return (carry_new, m_new), outs
+    streaming = config.streaming and model_update_fn is not None
 
-    (carry_f, model_f), (xs_steps, us_steps, objs, iters, active) = jax.lax.scan(
-        scan_body, (carry0, model_state), jnp.arange(n_steps)
-    )
+    def _pack_outs(outs):
+        # TPU-backend ys contract (measured): stacked scan outputs must be
+        # real-typed and at least 1-D rows (complex stacking buffers and 0-d
+        # scalar accumulation are not implemented on all TPU paths; carries
+        # of any dtype/rank are fine). So the complex state is emitted as
+        # (re, im) rows and all per-step scalars are packed into one metrics
+        # row: [obj, sqp_iters, active, u_0..u_{dim_u-1}].
+        x_next, u_apply, obj, iters, active = outs
+        rdt = jnp.real(x_next).dtype
+        metrics = jnp.concatenate([
+            jnp.reshape(obj, (1,)).astype(rdt),
+            jnp.reshape(iters, (1,)).astype(rdt),
+            jnp.reshape(active, (1,)).astype(rdt),
+            u_apply.reshape(-1).astype(rdt),
+        ])
+        return (jnp.real(x_next), jnp.imag(x_next), metrics)
+
+    if streaming:
+        # model state threads through the carry (it is refit every step)
+        def scan_body(carry_and_model, step):
+            carry, mstate = carry_and_model
+            carry_new, m_new, outs = step_fn(carry, step, plant, mstate, Xt, Ut)
+            return (carry_new, m_new), _pack_outs(outs)
+
+        (carry_f, model_f), ys = jax.lax.scan(
+            scan_body, (carry0, model_state), jnp.arange(n_steps)
+        )
+    else:
+        # loop-invariant model: keep it OUT of the carry (smaller While
+        # state; scan carries holding extra loop-invariant pytrees hit
+        # backend limitations on some TPU paths)
+        def scan_body(carry, step):
+            carry_new, _, outs = step_fn(carry, step, plant, model_state, Xt, Ut)
+            return carry_new, _pack_outs(outs)
+
+        carry_f, ys = jax.lax.scan(scan_body, carry0, jnp.arange(n_steps))
+        model_f = model_state
+
+    (xs_re, xs_im, metrics) = ys
+    xs_steps = jax.lax.complex(xs_re, xs_im) if jnp.issubdtype(cdtype, jnp.complexfloating) else xs_re
+    objs = metrics[:, 0]
+    iters = metrics[:, 1].astype(jnp.int32)
+    active = metrics[:, 2].astype(jnp.int32)
+    us_steps = metrics[:, 3:]
 
     xs = jnp.concatenate([x0[None].astype(cdtype), xs_steps], axis=0).T
     us = us_steps.T

@@ -149,7 +149,8 @@ def quantum_step(plant: QuantumPlant, rho_vec, u, dt):
     return (U @ rho @ U.conj().T).reshape(-1)
 
 
-def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None):
+def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None, use_pallas: bool = False,
+                     pallas_interpret: bool = False):
     """Propagate over a control trajectory, returning all intermediate states.
 
     :param x0: (d^2,) vec(rho) initial state.
@@ -157,11 +158,19 @@ def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None):
     :param key: optional PRNG key; when given, adds complex Gaussian
         measurement noise of scale sigma to the returned trajectory
         (reference experiment.py:212).
+    :param use_pallas: compute the per-step propagators with the fused
+        batch-on-lanes Pallas kernel (ops/pallas_expm.py) instead of the XLA
+        Pade path - the hot-op kernel for large step batches on TPU.
     :return: (d^2, n+1) states including x0.
     """
     d = plant.dim_s
     Hs = step_generators(plant.H0, plant.H1s, us)
-    Us = expm_pade((-1j * dt) * Hs)  # (n, d, d) batched on MXU
+    if use_pallas:
+        from .. import ops  # local import to keep pallas optional
+
+        Us = ops.pallas_expm.expm_pallas((-1j * dt) * Hs, interpret=pallas_interpret)
+    else:
+        Us = expm_pade((-1j * dt) * Hs)  # (n, d, d) batched on MXU
 
     def step(rho, U):
         rho_n = U @ rho @ U.conj().T
