@@ -215,7 +215,11 @@ def main():
     U_targ = np.zeros((1, N_STEPS + H))
     Q = np.diag([1.0, 0, 0, 1]).astype(complex)
     R = np.eye(1) * (1e-2 / SAT**2)
-    config = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER)
+    # traj_mode "none" keeps the scan state in the minimal TPU-validated
+    # shape (final state + exit codes only - all the bench metric needs);
+    # override with BENCH_TRAJ=onehot/dus for full trajectory recording.
+    config = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
+                           traj_mode=os.environ.get("BENCH_TRAJ", "none"))
 
     def run_fn(x0, model, plants, X_targ, U_targ, Q, R, keys, targ):
         res = batched_mpc(x0, model, plants, X_targ, U_targ, Q, R, Q,

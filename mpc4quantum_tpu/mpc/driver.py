@@ -71,6 +71,10 @@ class MPCConfig:
     # (reference lqr.py semantics, Delta-consistent) - no first-step slew
     # box, but no inner iterative solver: the fast path.
     solver: str = "qp"
+    # trajectory recording inside the scan: "dus" (dynamic_update_slice row
+    # writes), "onehot" (multiply-add accumulation - no scatter, for backends
+    # whose loops lack DUS), "none" (final state only; xs/us outputs zeroed)
+    traj_mode: str = "onehot"
 
 
 class MPCResult(NamedTuple):
@@ -333,6 +337,29 @@ def mpc(
 
     X_guess0 = jnp.tile(lift_x0[:, None].astype(cdtype), (1, H + 1))
     U_guess0 = jnp.zeros((dim_u, H), jnp.asarray(sat).dtype if hasattr(sat, "dtype") else X_guess0.real.dtype)
+
+    Xt = jnp.asarray(X_targ, cdtype)
+    Ut = jnp.asarray(U_targ)
+
+    streaming = config.streaming and model_update_fn is not None
+    rdtype = jnp.zeros(0, cdtype).real.dtype
+    is_cx = jnp.issubdtype(cdtype, jnp.complexfloating)
+    E = x0.shape[0]
+
+    # ------------------------------------------------------------------
+    # TPU-backend loop-state contract (measured, see CLAUDE.md): the shape
+    # of the scan state is fragile on the experimental backend - the flat
+    # 8-element carry below plus ONE trajectory matrix is the empirically
+    # validated form (extra operands, nested pytrees, in-loop complex
+    # repacking, and plain ys stacking all raise UNIMPLEMENTED). Trajectory
+    # rows are accumulated by one-hot multiply-add ("onehot", default) or
+    # dynamic_update_slice ("dus"); both identical numerically.
+    # ------------------------------------------------------------------
+    if streaming:
+        model_leaves, model_def = jax.tree.flatten(model_state)
+    else:
+        model_leaves, model_def = [], None
+
     carry0 = (
         x0.astype(cdtype),
         x0.astype(cdtype),  # true plant state (diverges from x_cur when measure_freq > 1)
@@ -343,63 +370,71 @@ def mpc(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
+    record = config.traj_mode != "none"
+    row_len = 2 * E + 3 + dim_u
+    traj_tuple0 = (jnp.zeros((n_steps, row_len), rdtype),) if record else ()
 
-    Xt = jnp.asarray(X_targ, cdtype)
-    Ut = jnp.asarray(U_targ)
+    def scan_body(state, step):
+        carry = state[:8]
+        traj_tuple = state[8 : 8 + (1 if record else 0)]
+        mleaves = state[8 + (1 if record else 0):]
+        mstate = jax.tree.unflatten(model_def, list(mleaves)) if streaming else model_state
+        carry_new, m_new, outs = step_fn(carry, step, plant, mstate, Xt, Ut)
 
-    streaming = config.streaming and model_update_fn is not None
+        if record:
+            (traj,) = traj_tuple
+            # trajectory row: [re(x), im(x), obj, iters, active, u...]
+            x_next, u_apply, obj, iters, active = outs
+            row = jnp.concatenate([
+                jnp.real(x_next).astype(rdtype),
+                jnp.imag(x_next).astype(rdtype),
+                jnp.reshape(obj, (1,)).astype(rdtype),
+                jnp.reshape(iters, (1,)).astype(rdtype),
+                jnp.reshape(active, (1,)).astype(rdtype),
+                u_apply.reshape(-1).astype(rdtype),
+            ])
+            if config.traj_mode == "dus":
+                traj = jax.lax.dynamic_update_slice(traj, row[None, :], (step, 0))
+            else:  # onehot
+                onehot = (jnp.arange(n_steps) == step).astype(rdtype)
+                traj = traj + onehot[:, None] * row[None, :]
+            traj_tuple = (traj,)
 
-    def _pack_outs(outs):
-        # TPU-backend ys contract (measured): stacked scan outputs must be
-        # real-typed and at least 1-D rows (complex stacking buffers and 0-d
-        # scalar accumulation are not implemented on all TPU paths; carries
-        # of any dtype/rank are fine). So the complex state is emitted as
-        # (re, im) rows and all per-step scalars are packed into one metrics
-        # row: [obj, sqp_iters, active, u_0..u_{dim_u-1}].
-        x_next, u_apply, obj, iters, active = outs
-        rdt = jnp.real(x_next).dtype
-        metrics = jnp.concatenate([
-            jnp.reshape(obj, (1,)).astype(rdt),
-            jnp.reshape(iters, (1,)).astype(rdt),
-            jnp.reshape(active, (1,)).astype(rdt),
-            u_apply.reshape(-1).astype(rdt),
-        ])
-        return (jnp.real(x_next), jnp.imag(x_next), metrics)
+        m_new_leaves = tuple(jax.tree.leaves(m_new)) if streaming else ()
+        return carry_new + traj_tuple + m_new_leaves, None
 
-    if streaming:
-        # model state threads through the carry (it is refit every step)
-        def scan_body(carry_and_model, step):
-            carry, mstate = carry_and_model
-            carry_new, m_new, outs = step_fn(carry, step, plant, mstate, Xt, Ut)
-            return (carry_new, m_new), _pack_outs(outs)
+    state_f, _ = jax.lax.scan(scan_body, carry0 + traj_tuple0 + tuple(model_leaves),
+                              jnp.arange(n_steps))
+    carry_f = state_f[:8]
+    n_extra = 1 if record else 0
+    traj_f = state_f[8] if record else jnp.zeros((n_steps, row_len), rdtype)
+    model_f = jax.tree.unflatten(model_def, list(state_f[8 + n_extra:])) if streaming else model_state
+    intbuf_f = jnp.stack([carry_f[6], carry_f[7].astype(jnp.int32)])
 
-        (carry_f, model_f), ys = jax.lax.scan(
-            scan_body, (carry0, model_state), jnp.arange(n_steps)
+    xs_re = traj_f[:, :E]
+    xs_im = traj_f[:, E : 2 * E]
+    xs_steps = jax.lax.complex(xs_re, xs_im) if is_cx else xs_re
+    objs = traj_f[:, 2 * E]
+    iters = traj_f[:, 2 * E + 1].astype(jnp.int32)
+    active = traj_f[:, 2 * E + 2].astype(jnp.int32)
+    us_steps = traj_f[:, 2 * E + 3 :]
+    if config.traj_mode == "none":
+        # degraded recording: only the final state survives (from the
+        # carry); intermediate rows stay zero. n_valid is exact only when no
+        # early exit fired. Assembled by concat, NOT .at[].set - complex
+        # scatter is unimplemented on some TPU backend paths.
+        x_final = carry_f[0]
+        xs_steps = jnp.concatenate(
+            [jnp.zeros((n_steps - 1, E), cdtype), x_final[None, :]], axis=0
         )
-    else:
-        # loop-invariant model: keep it OUT of the carry (smaller While
-        # state; scan carries holding extra loop-invariant pytrees hit
-        # backend limitations on some TPU paths)
-        def scan_body(carry, step):
-            carry_new, _, outs = step_fn(carry, step, plant, model_state, Xt, Ut)
-            return carry_new, _pack_outs(outs)
-
-        carry_f, ys = jax.lax.scan(scan_body, carry0, jnp.arange(n_steps))
-        model_f = model_state
-
-    (xs_re, xs_im, metrics) = ys
-    xs_steps = jax.lax.complex(xs_re, xs_im) if jnp.issubdtype(cdtype, jnp.complexfloating) else xs_re
-    objs = metrics[:, 0]
-    iters = metrics[:, 1].astype(jnp.int32)
-    active = metrics[:, 2].astype(jnp.int32)
-    us_steps = metrics[:, 3:]
+        active = jnp.where(intbuf_f[0] == 0, jnp.ones(n_steps, jnp.int32), jnp.zeros(n_steps, jnp.int32))
 
     xs = jnp.concatenate([x0[None].astype(cdtype), xs_steps], axis=0).T
     us = us_steps.T
-    n_valid = jnp.sum(active.astype(jnp.int32))
+    n_valid = jnp.sum(active)
     return MPCResult(
         xs=xs, us=us,
-        exit_code=carry_f[6], n_valid=n_valid,
+        exit_code=intbuf_f[0], n_valid=n_valid,
         objs=objs, sqp_iters=iters,
         model_A=model_f.A, model_state=model_f,
     )
