@@ -274,8 +274,22 @@ def main():
 
 
 if __name__ == "__main__":
+    import signal
+
+    # Watchdog: remote TPU compiles can hang for tens of minutes; a hung
+    # bench is worse than a CPU number. SIGALRM turns a hang into the
+    # exception path, which re-execs on the CPU backend.
+    if os.environ.get("BENCH_DEVICE") != "cpu":
+        timeout_s = int(os.environ.get("BENCH_TPU_TIMEOUT", "900"))
+
+        def _alarm(signum, frame):
+            raise TimeoutError(f"TPU bench exceeded {timeout_s}s (remote compile hang?)")
+
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(timeout_s)
     try:
         main()
+        signal.alarm(0)
     except Exception as e:
         # A benchmark line must always be produced. If the TPU path fails
         # (e.g. backend limitations), re-exec once on the CPU backend.
