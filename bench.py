@@ -152,7 +152,9 @@ def cpu_baseline_rollout(detune=0.99):
         n_sqp = 100 if step <= 1 else 1
         for _ in range(n_sqp):
             A_s, B_s, D_s = linearize(X_guess, U_guess)
-            X_opt, U_opt = qp(x, A_s, B_s, D_s, u_prev)
+            # u_prev quirk parity (reference mpc.py:185): the slew box is
+            # referenced to the benchmark control (0) at steps 0 AND 1
+            X_opt, U_opt = qp(x, A_s, B_s, D_s, u_prev if step > 1 else 0.0)
             d = np.linalg.norm(U_opt - U_guess) + np.linalg.norm(X_opt[:, :H] - X_guess[:, :H])
             X_guess, U_guess = X_opt, U_opt
             if d < 1e-4:
