@@ -60,9 +60,12 @@ from .plants.quantum import (
 )
 from .plants.synthesis import SynthesisPlant, lift_unitary, proj_process, synthesis_simulate
 from .plants.classical import ClassicalPlant, VanDerPol, Rotor, rk4_simulate
-from . import plants, models, ops, solvers, utils
+from . import plants, models, ops, solvers, utils, systems
 from .mpc.clock import StepClock, val_to_str
 from .mpc.driver import MPCConfig, MPCResult, make_mpc_step, trim
 from .mpc.driver import mpc  # note: shadows the submodule; m4q.mpc(...) is the entry point
 
 # Fleet layer re-exported here as it lands.
+from . import presets
+from .parallel.fleet import batched_mpc, sharded_mpc, make_scenario_batch, fleet_summary
+from .parallel.mesh import init_distributed, fleet_mesh, scaling_report
