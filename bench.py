@@ -221,7 +221,8 @@ def main():
     # shape (final state + exit codes only - all the bench metric needs);
     # override with BENCH_TRAJ=onehot/dus for full trajectory recording.
     config = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
-                           traj_mode=os.environ.get("BENCH_TRAJ", "none"))
+                           traj_mode=os.environ.get("BENCH_TRAJ", "none"),
+                           unroll=os.environ.get("BENCH_UNROLL", "") == "1")
 
     def run_fn(x0, model, plants, X_targ, U_targ, Q, R, keys, targ):
         res = batched_mpc(x0, model, plants, X_targ, U_targ, Q, R, Q,
@@ -282,7 +283,7 @@ if __name__ == "__main__":
     # bench is worse than a CPU number. SIGALRM turns a hang into the
     # exception path, which re-execs on the CPU backend.
     if os.environ.get("BENCH_DEVICE") != "cpu":
-        timeout_s = int(os.environ.get("BENCH_TPU_TIMEOUT", "900"))
+        timeout_s = int(os.environ.get("BENCH_TPU_TIMEOUT", "600"))
 
         def _alarm(signum, frame):
             raise TimeoutError(f"TPU bench exceeded {timeout_s}s (remote compile hang?)")

@@ -75,6 +75,9 @@ class MPCConfig:
     # writes), "onehot" (multiply-add accumulation - no scatter, for backends
     # whose loops lack DUS), "none" (final state only; xs/us outputs zeroed)
     traj_mode: str = "onehot"
+    # fully unroll the step loop (no outer While): large compile, but the
+    # only driver form verified end-to-end on the axon TPU backend
+    unroll: bool = False
 
 
 class MPCResult(NamedTuple):
@@ -404,7 +407,8 @@ def mpc(
         return carry_new + traj_tuple + m_new_leaves, None
 
     state_f, _ = jax.lax.scan(scan_body, carry0 + traj_tuple0 + tuple(model_leaves),
-                              jnp.arange(n_steps))
+                              jnp.arange(n_steps),
+                              unroll=n_steps if config.unroll else 1)
     carry_f = state_f[:8]
     n_extra = 1 if record else 0
     traj_f = state_f[8] if record else jnp.zeros((n_steps, row_len), rdtype)
