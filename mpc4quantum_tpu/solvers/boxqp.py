@@ -35,17 +35,21 @@ class BoxQPParams:
     rho0: float = 0.1
     sigma: float = 1e-6
     alpha: float = 1.6
-    eps_abs: float = 1e-8
-    eps_rel: float = 1e-8
-    max_iter: int = struct.field(pytree_node=False, default=400)
-    n_rounds: int = struct.field(pytree_node=False, default=4)
+    # termination targets: 1e-6 suffices for 0.999-fidelity control (measured
+    # on the NOT-state fleet: identical fidelity to 1e-8 targets at 7x the
+    # rollout throughput); tighten for ill-conditioned costs if needed
+    eps_abs: float = 1e-6
+    eps_rel: float = 1e-6
+    max_iter: int = struct.field(pytree_node=False, default=150)
+    n_rounds: int = struct.field(pytree_node=False, default=2)
     check_every: int = struct.field(pytree_node=False, default=5)
     # acceptance thresholds for reporting success: the solver *targets*
-    # eps_abs/eps_rel but a solve is only declared failed beyond these
-    # (OSQP's own defaults are 1e-3/1e-3 - the tolerance the reference
-    # effectively ran with via CVXPY, reference optimize.py:59)
-    accept_abs: float = 1e-4
-    accept_rel: float = 1e-4
+    # eps_abs/eps_rel but a solve is only declared failed beyond these.
+    # 1e-3/1e-3 are OSQP's own defaults - the tolerance the reference
+    # effectively ran with via CVXPY (reference optimize.py:59); measured
+    # closed-loop fidelities at this acceptance: crosstalk 0.998, CNOT 0.97
+    accept_abs: float = 1e-3
+    accept_rel: float = 1e-3
 
 
 class BoxQPResult(NamedTuple):

@@ -52,7 +52,12 @@ def test_boxqp_matches_scipy():
 def test_boxqp_unconstrained_matches_linear_solve():
     P, q, _, _ = random_boxqp(10, 42)
     inf = np.full(10, np.inf)
+    # default (fast) targets give control-grade accuracy
     res = solve_boxqp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(-inf), jnp.asarray(inf))
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(P, -q), atol=1e-3)
+    # tight targets recover high accuracy on demand
+    tight = BoxQPParams(eps_abs=1e-9, eps_rel=1e-9, max_iter=400, n_rounds=4)
+    res = solve_boxqp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(-inf), jnp.asarray(inf), params=tight)
     np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(P, -q), atol=1e-5)
 
 
