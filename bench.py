@@ -15,7 +15,7 @@ Quality gate: the fleet's mean final fidelity must be >= 0.98, and the
 baseline's pulse must agree with the engine's on the same scenario - speed
 with wrong pulses does not count.
 
-Env knobs: BENCH_BATCH (default 512), BENCH_REPS (default 3),
+Env knobs: BENCH_BATCH (default 1024), BENCH_REPS (default 3),
 BENCH_DEVICE=cpu to force CPU.
 """
 
@@ -175,7 +175,7 @@ def cpu_baseline_rollout(detune=0.99):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     import jax
