@@ -87,3 +87,26 @@ def test_qp_failure_sets_exit_code_2():
                   config, sat=sat, du=du, key=jax.random.PRNGKey(1))
     assert int(res.exit_code) in (2, 3)
     assert int(res.n_valid) == 0
+
+
+def test_not_state_in_f32_tpu_native_precision():
+    # the TPU-native dtype path: complex64/f32 end-to-end (the suite
+    # otherwise runs x64 for oracle parity)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+        model32 = model.replace(A=jnp.asarray(np.asarray(model.A), jnp.complex64))
+        plant32 = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.complex64) if np.iscomplexobj(np.asarray(a))
+            else jnp.asarray(np.asarray(a), jnp.float32), plant)
+        res = m4q.mpc(jnp.asarray(np.asarray(rho0), jnp.complex64), model32, plant32,
+                      jnp.asarray(np.asarray(X_targ), jnp.complex64),
+                      jnp.asarray(np.asarray(U_targ), jnp.float32),
+                      jnp.asarray(np.asarray(Q), jnp.complex64),
+                      jnp.asarray(np.asarray(R), jnp.float32),
+                      jnp.asarray(np.asarray(Qf), jnp.complex64),
+                      config, sat=sat, du=du, key=jax.random.PRNGKey(1))
+        p1 = float(jnp.real(res.xs[3, -1]))
+        assert p1 > 0.99, f"f32 path degraded: P1={p1}"
+    finally:
+        jax.config.update("jax_enable_x64", True)
