@@ -117,6 +117,51 @@ def discrep_from_data(Y, X, U=None, rcond=1e-15, capacity: int | None = None, di
     )
 
 
+def discrep_from_randn(key, dim_y, dim_x, dim_u, sigma, capacity, discount=1.0, rcond=1e-15,
+                       dtype=jnp.float64) -> DiscrepDMDc:
+    """Bootstrap from a random-normal operator of scale sigma
+    (reference model.py:137-149)."""
+    A0 = sigma * jax.random.normal(key, (dim_y, dim_x + dim_u)).astype(dtype)
+    return discrep_bootstrap(A0, dim_y, dim_x, dim_u, capacity, discount=discount, rcond=rcond)
+
+
+def discrep_append(d: DiscrepDMDc, Y, X, U) -> DiscrepDMDc:
+    """Bulk-load snapshot columns without refitting (reference
+    model.py:209-213): columns enter undiscounted on the right of the
+    fixed-capacity buffers."""
+    Y = jnp.asarray(Y, d.Y.dtype)
+    X = jnp.asarray(X, d.X.dtype)
+    U = jnp.asarray(U, d.U.dtype) if d.dim_u else d.U[:, :0]
+    n = Y.shape[1]
+    shift = lambda buf, M: jnp.roll(buf, -n, axis=1).at[:, -n:].set(M[:, -min(n, buf.shape[1]):])
+    return d.replace(
+        Y=shift(d.Y, Y), X=shift(d.X, X),
+        U=shift(d.U, U) if d.dim_u else d.U,
+        count=jnp.minimum(d.count + n, d.capacity),
+    )
+
+
+def online_from_data(Y, X, U=None, discount=1.0) -> "OnlineDMDc":
+    """Batch initialization P0 = pinv(Z Z^T), A0 = Y Z^T P0
+    (reference model.py:281-293). Assumes full-rank, well-conditioned data."""
+    Y = jnp.asarray(Y)
+    X = jnp.asarray(X)
+    dim_y = Y.shape[0]
+    dim_x = X.shape[0]
+    if U is None:
+        dim_u = 0
+        Z = X
+    else:
+        U = jnp.asarray(U)
+        dim_u = U.shape[0]
+        Z = jnp.concatenate([X, U.astype(X.dtype)], axis=0)
+    # plain transpose (not conjugate), matching the RLS recursion's
+    # convention in fit_iteration and the reference (model.py:291-292)
+    P0 = jnp.linalg.pinv(Z @ Z.T)
+    A0 = Y @ Z.T @ P0
+    return OnlineDMDc(A=A0, P=P0, dim_y=dim_y, dim_x=dim_x, dim_u=dim_u, discount=discount)
+
+
 def discrep_bootstrap(A0, dim_y, dim_x, dim_u, capacity, discount=1.0, rcond=1e-15, dtype=None) -> DiscrepDMDc:
     """Bootstrap from an initial operator with an empty buffer
     (reference model.py:150-156)."""

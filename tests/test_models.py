@@ -132,3 +132,42 @@ def test_train_model_recovers_bilinear_model():
     assert float(jnp.min(jnp.asarray(losses))) < 1e-4
     loss_best = prediction_loss(model.A, dim_x, jnp.asarray(X2), jnp.asarray(X1), jnp.asarray(UL1))
     assert float(loss_best) < 1e-4
+
+
+def test_online_from_data_matches_reference_formula():
+    from mpc4quantum_tpu.models.dmdc import online_from_data
+    rng = np.random.default_rng(7)
+    A_true, B_true, X, U, Y = make_linear_system(rng, n=80)
+    m = online_from_data(jnp.asarray(Y), jnp.asarray(X), jnp.asarray(U))
+    np.testing.assert_allclose(np.asarray(m.A), np.hstack([A_true, B_true]), atol=1e-8)
+    Z = np.vstack([X, U])
+    np.testing.assert_allclose(np.asarray(m.P), np.linalg.pinv(Z @ Z.T), atol=1e-8)
+    # and the RLS recursion continues consistently from it
+    y, x, u = rng.normal(size=4), rng.normal(size=4), rng.normal(size=2)
+    m2 = online_fit_iteration(m, jnp.asarray(y), jnp.asarray(x), jnp.asarray(u))
+    assert np.isfinite(np.asarray(m2.A)).all()
+
+
+def test_discrep_append_bulk_load():
+    from mpc4quantum_tpu.models.dmdc import discrep_append
+    rng = np.random.default_rng(8)
+    d = discrep_bootstrap(jnp.zeros((3, 5)), 3, 3, 2, capacity=6)
+    Y = rng.normal(size=(3, 4)); X = rng.normal(size=(3, 4)); U = rng.normal(size=(2, 4))
+    d = discrep_append(d, Y, X, U)
+    assert int(d.count) == 4
+    np.testing.assert_allclose(np.asarray(d.Y)[:, -4:], Y)
+    np.testing.assert_allclose(np.asarray(d.X)[:, -4:], X)
+    # appending beyond capacity keeps the newest columns
+    Y2 = rng.normal(size=(3, 4))
+    d = discrep_append(d, Y2, rng.normal(size=(3, 4)), rng.normal(size=(2, 4)))
+    assert int(d.count) == 6
+    np.testing.assert_allclose(np.asarray(d.Y)[:, -4:], Y2)
+    np.testing.assert_allclose(np.asarray(d.Y)[:, :2], Y[:, -2:])
+
+
+def test_discrep_from_randn():
+    from mpc4quantum_tpu.models.dmdc import discrep_from_randn
+    d = discrep_from_randn(jax.random.PRNGKey(0), 3, 3, 2, sigma=0.5, capacity=8)
+    A = np.asarray(d.A)
+    assert A.shape == (3, 5) and 0.05 < A.std() < 2.0
+    assert int(d.count) == 0
