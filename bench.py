@@ -11,9 +11,10 @@ CPU (numpy/scipy) implementation of the same receding-horizon loop -
 linearize, condense, box-QP (L-BFGS-B standing in for OSQP), expm plant -
 mirroring the reference's one-scenario-at-a-time execution model.
 
-Quality gate: the fleet's mean final fidelity must be >= 0.98, and the
-baseline's pulse must agree with the engine's on the same scenario - speed
-with wrong pulses does not count.
+Quality gate: the fleet's mean final fidelity must be >= 0.98 and the
+baseline's >= 0.98 - speed with wrong pulses does not count. (Pulse-level
+agreement between the engine and the reference formulation is enforced in
+tests/test_parity.py, not here.)
 
 Env knobs: BENCH_BATCH (default 1024), BENCH_REPS (default 3),
 BENCH_DEVICE=cpu to force CPU.

@@ -46,6 +46,9 @@ from .models.dmdc import (
     online_from_bootstrap,
     online_from_randn,
     online_fit_iteration,
+    with_history,
+    history_update,
+    history_snapshots,
     predict,
     get_discrete,
 )
@@ -67,5 +70,5 @@ from .mpc.driver import mpc  # note: shadows the submodule; m4q.mpc(...) is the 
 
 # Fleet layer re-exported here as it lands.
 from . import presets
-from .parallel.fleet import batched_mpc, sharded_mpc, make_scenario_batch, fleet_summary
+from .parallel.fleet import batched_mpc, sharded_mpc, make_scenario_batch, fleet_summary, sharded_fleet_summary
 from .parallel.mesh import init_distributed, fleet_mesh, scaling_report

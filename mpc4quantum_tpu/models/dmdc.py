@@ -242,6 +242,86 @@ def online_from_randn(key, dim_y, dim_x, dim_u, sigma=1.0, alpha=1e2, discount=1
                       dim_y=dim_y, dim_x=dim_x, dim_u=dim_u, discount=discount)
 
 
+# ---------------------------------------------------------------------------
+# In-scan snapshot history (reference iA/_isave parity)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class HistoryState:
+    """Model state wrapped with a fixed-capacity in-carry snapshot ring.
+
+    The reference records `iA` operator snapshots every `_isave=10` fit
+    iterations into a python list (reference model.py:132-135, 201-204) -
+    impossible inside `lax.scan`. Here the ring buffer `buf` lives in the
+    scan carry: slot writes are one-hot multiply-adds (no scatter - complex
+    scatter is unimplemented on some TPU backend paths), so streaming updates
+    inside the driver are observable afterwards. `buf[0]` is the initial
+    operator (reference `iA = [A0]`).
+    """
+
+    inner: object            # the wrapped model pytree (must expose .A)
+    buf: jnp.ndarray         # (n_slots, dim_y, dim_z) snapshot ring
+    n_recorded: jnp.ndarray  # () int32: total snapshots taken (may exceed n_slots)
+    it: jnp.ndarray          # () int32: fit iterations seen
+    every: int = struct.field(pytree_node=False, default=10)
+
+    @property
+    def A(self):
+        return self.inner.A
+
+
+def with_history(model_state, n_slots: int, every: int = 10) -> HistoryState:
+    """Wrap a model state so streaming updates record `A` snapshots in-carry.
+
+    Use with `history_update(update_fn)` as the driver's `model_update_fn`.
+    """
+    A0 = model_state.A
+    buf = jnp.zeros((n_slots,) + A0.shape, A0.dtype)
+    buf = jnp.concatenate([A0[None], buf[1:]], axis=0)  # iA = [A0]
+    return HistoryState(inner=model_state, buf=buf,
+                        n_recorded=jnp.asarray(1, jnp.int32),
+                        it=jnp.asarray(0, jnp.int32), every=every)
+
+
+def history_update(update_fn):
+    """Lift a model update (state, y, x, u) -> state to HistoryState."""
+
+    def fn(h: HistoryState, next_y, next_x, next_u) -> HistoryState:
+        inner = update_fn(h.inner, next_y, next_x, next_u)
+        it = h.it + 1
+        take = (it % h.every) == 0
+        n_slots = h.buf.shape[0]
+        # slot 0 holds A0 permanently; writes k = 1, 2, ... ring over the
+        # remaining n_slots-1 slots: slot(k) = 1 + (k-1) % (n_slots-1)
+        slot = 1 + jnp.mod(h.n_recorded - 1, n_slots - 1)
+        sel = jnp.where(take, (jnp.arange(n_slots) == slot).astype(h.buf.real.dtype), 0.0)
+        sel = sel.reshape((n_slots,) + (1,) * (h.buf.ndim - 1))
+        buf = h.buf * (1.0 - sel) + sel * inner.A[None]
+        return h.replace(inner=inner, buf=buf, it=it,
+                         n_recorded=h.n_recorded + take.astype(jnp.int32))
+
+    return fn
+
+
+def history_snapshots(h: HistoryState):
+    """Host-side: the recorded snapshots in chronological order (numpy list).
+
+    If the ring wrapped, the oldest snapshots beyond capacity are gone;
+    `buf[0]` (the initial A0) is always kept."""
+    import numpy as np
+
+    n_slots = h.buf.shape[0]
+    n = int(h.n_recorded)  # total writes: A0 plus n-1 cadenced snapshots
+    buf = np.asarray(h.buf)
+    if n <= n_slots:
+        return [buf[i] for i in range(n)]
+    # ring wrapped: the surviving writes are A0 and the last n_slots-1;
+    # write k (k >= 1) lives at slot 1 + (k-1) % (n_slots-1)
+    ks = range(n - (n_slots - 1), n)
+    return [buf[0]] + [buf[1 + (k - 1) % (n_slots - 1)] for k in ks]
+
+
 def online_fit_iteration(m: OnlineDMDc, next_y, next_x, next_u) -> OnlineDMDc:
     """Rank-1 RLS update (reference model.py:295-313):
         gamma = 1/(1 + z^T P z); A += gamma (y - A z) (P z)^T;

@@ -182,8 +182,15 @@ def make_mpc_step(
                 lres = lqr_quad_program(
                     lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, sat=sat, Delta_s=D_s
                 )
+                # failure detection: an ill-conditioned backward pass produces
+                # NaN/inf gains; treat a non-finite rollout as a solver
+                # failure (exit code 2) rather than declaring success
+                lqr_ok = jnp.logical_and(
+                    jnp.all(jnp.isfinite(jnp.abs(lres.X))),
+                    jnp.all(jnp.isfinite(lres.U)),
+                )
                 res = QPResult(X=lres.X, U=lres.U, obj=lres.cost,
-                               iters=jnp.asarray(0), converged=jnp.asarray(True))
+                               iters=jnp.asarray(0), converged=lqr_ok)
             else:
                 res = quad_program(
                     lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
@@ -446,13 +453,23 @@ def mpc(
 
 def trim(result: MPCResult):
     """Python-side trimming that mirrors the reference's early-exit slicing
-    (reference mpc.py:294-304): returns (xs, us) cut to the executed steps."""
+    (reference mpc.py:294-304): returns (xs, us) cut to the executed steps.
+
+    Reference semantics: a normal exit (code 0) and a solver failure
+    (codes 2/3, which fire *before* the step's control is applied) keep all
+    applied controls; an `exit_condition` exit (code 1) drops the last
+    attempted entry - the state AND control of the step that triggered it
+    (reference mpc.py:298-304). Where the reference returns `us=None` for a
+    code-1 exit at step 0, we return the empty (dim_u, 0) slice.
+    """
     import numpy as np
 
     n = int(result.n_valid)
     code = int(result.exit_code)
     xs = np.asarray(result.xs)
     us = np.asarray(result.us)
-    if code in (0, 1):
-        return xs[:, : n + 1], us[:, :n]
+    if code == 1:
+        # the exit step's control WAS applied (counted in n_valid); the
+        # reference discards it along with the resulting state
+        return xs[:, :n], us[:, : max(n - 1, 0)]
     return xs[:, : n + 1], us[:, :n]

@@ -4,5 +4,6 @@ from .fleet import (
     make_scenario_batch,
     scenario_mesh,
     fleet_summary,
+    sharded_fleet_summary,
 )
 from .mesh import init_distributed, fleet_mesh, scaling_report

@@ -120,12 +120,18 @@ def sharded_mpc(mesh: Mesh, x0, model_state, plants, X_targ, U_targ, Q, R, Qf,
     return fn(x0, plants, keys)
 
 
-def fleet_summary(result: MPCResult, target, mesh: Optional[Mesh] = None,
-                  axis_name: str = "scenarios"):
+def fleet_summary(result: MPCResult, target, axis_name: Optional[str] = None):
     """Batch summary metrics, reduced with ICI collectives when sharded.
+
+    Called plainly (axis_name=None), reduces over the local batch axis with
+    jnp reductions. Called *inside shard_map* with the mesh axis name, each
+    device reduces its shard locally and the shards are combined with
+    `lax.pmean`/`lax.pmin` over the named axis - the cross-chip reduction
+    rides ICI (equal shard sizes make pmean-of-means exact).
 
     :param target: (dim_e,) target state; fidelity proxy is
         Re <target, x_final> (exact population overlap for diagonal targets).
+    :param axis_name: mesh axis to psum over when called inside shard_map.
     :return: dict of scalars: mean/min fidelity, completion fraction,
         mean SQP iterations.
     """
@@ -133,14 +139,44 @@ def fleet_summary(result: MPCResult, target, mesh: Optional[Mesh] = None,
     fid = jnp.real(jnp.einsum("...d,d->...", xf, jnp.conj(jnp.asarray(target))))
     ok = (result.exit_code == 0) | (result.exit_code == 1)
 
-    def reduce_all(v, op):
-        if mesh is None:
-            return op(v)
-        return op(v)  # shard_map callers reduce inside; jit+sharding handles it
+    def _mean(v):
+        m = jnp.mean(v)
+        return jax.lax.pmean(m, axis_name) if axis_name is not None else m
+
+    def _min(v):
+        m = jnp.min(v)
+        return jax.lax.pmin(m, axis_name) if axis_name is not None else m
 
     return {
-        "fidelity_mean": reduce_all(fid, jnp.mean),
-        "fidelity_min": reduce_all(fid, jnp.min),
-        "completed_frac": reduce_all(ok.astype(jnp.float32), jnp.mean),
-        "sqp_iters_mean": reduce_all(result.sqp_iters.astype(jnp.float32), jnp.mean),
+        "fidelity_mean": _mean(fid),
+        "fidelity_min": _min(fid),
+        "completed_frac": _mean(ok.astype(jnp.float32)),
+        "sqp_iters_mean": _mean(result.sqp_iters.astype(jnp.float32)),
     }
+
+
+def sharded_fleet_summary(mesh: Mesh, result: MPCResult, target,
+                          axis_name: str = "scenarios"):
+    """Summary metrics of a fleet result with the cross-device reduction done
+    by ICI collectives: each device reduces its scenario shard locally, then
+    one `pmean`/`pmin` per metric combines the shards over the mesh axis.
+
+    This is the communication pattern SURVEY.md section 5.8 prescribes - the
+    rollouts themselves are embarrassingly parallel; only O(1) scalars per
+    metric cross the interconnect.
+    """
+    fid_target = jnp.asarray(target)
+
+    def fn(xs, code, iters):
+        partial_res = MPCResult(
+            xs=xs, us=xs, exit_code=code, n_valid=code,
+            objs=xs, sqp_iters=iters, model_A=xs, model_state=None,
+        )
+        return fleet_summary(partial_res, fid_target, axis_name=axis_name)
+
+    shf = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(),
+    )
+    return shf(result.xs, result.exit_code, result.sqp_iters)

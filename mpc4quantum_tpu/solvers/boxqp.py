@@ -146,7 +146,10 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None) -> Box
     acc_d = params.accept_abs + params.accept_rel * jnp.maximum(
         jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
     )
-    converged = jnp.logical_and(prim <= jnp.maximum(10 * ep, acc_p),
-                                dual <= jnp.maximum(10 * ed, acc_d))
+    # acceptance alone defines declared success: accept_abs/accept_rel may be
+    # set tighter than the solve targets and still take effect (the solver
+    # just won't iterate past its eps targets to reach them)
+    converged = jnp.logical_and(prim <= jnp.maximum(ep, acc_p),
+                                dual <= jnp.maximum(ed, acc_d))
     # Return the projected iterate: always box-feasible.
     return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual, converged=converged)

@@ -53,7 +53,12 @@ def cx_solve(A, B):
     A = jnp.asarray(A)
     B = jnp.asarray(B)
     if not jnp.issubdtype(A.dtype, jnp.complexfloating):
-        return jnp.linalg.solve(A, B.real if jnp.issubdtype(B.dtype, jnp.complexfloating) else B)
+        if jnp.issubdtype(B.dtype, jnp.complexfloating):
+            # real A, complex B: solve both parts against the one real LU
+            Xr = jnp.linalg.solve(A, jnp.concatenate([B.real, B.imag], axis=-1))
+            m = B.shape[-1]
+            return jax.lax.complex(Xr[..., :m], Xr[..., m:])
+        return jnp.linalg.solve(A, B)
     d = A.shape[-1]
     Ar = jnp.concatenate(
         [jnp.concatenate([A.real, -A.imag], axis=-1),

@@ -171,3 +171,72 @@ def test_discrep_from_randn():
     A = np.asarray(d.A)
     assert A.shape == (3, 5) and 0.05 < A.std() < 2.0
     assert int(d.count) == 0
+
+
+# ---------------------------------------------------------------------------
+# In-scan snapshot history (reference iA/_isave parity, model.py:132-135,
+# 201-204)
+# ---------------------------------------------------------------------------
+
+
+def test_history_cadence_matches_reference():
+    """with_history + history_update records A every `every` fit iterations,
+    starting from iA = [A0] - the reference's snapshot semantics - and the
+    recording works identically inside lax.scan."""
+    from mpc4quantum_tpu.models.dmdc import with_history, history_update, history_snapshots
+
+    rng = np.random.default_rng(3)
+    A_true, B_true, X, U, Y = make_linear_system(rng, n=30)
+    m0 = online_from_bootstrap(jnp.zeros((4, 6)), 4, 4, 2, alpha=10.0)
+    h0 = with_history(m0, n_slots=8, every=10)
+    upd = history_update(online_fit_iteration)
+
+    # python-loop ground truth of the reference semantics
+    m_ref = m0
+    iA_ref = [np.asarray(m0.A)]
+    for k in range(25):
+        m_ref = online_fit_iteration(m_ref, Y[:, k], X[:, k], U[:, k])
+        if (k + 1) % 10 == 0:
+            iA_ref.append(np.asarray(m_ref.A))
+
+    # same updates inside a scan
+    Yj, Xj, Uj = jnp.asarray(Y), jnp.asarray(X), jnp.asarray(U)
+
+    def body(h, k):
+        return upd(h, Yj[:, k], Xj[:, k], Uj[:, k]), None
+
+    h_f, _ = jax.lax.scan(body, h0, jnp.arange(25))
+    snaps = history_snapshots(h_f)
+    assert int(h_f.it) == 25
+    assert len(snaps) == len(iA_ref) == 3  # A0 + snapshots at it=10, 20
+    for s, r in zip(snaps, iA_ref):
+        np.testing.assert_allclose(s, r, atol=1e-12)
+    # the wrapper's .A view tracks the inner model
+    np.testing.assert_allclose(np.asarray(h_f.A), np.asarray(m_ref.A), atol=1e-12)
+
+
+def test_history_ring_wraps_keeping_a0():
+    """Beyond capacity the ring drops the oldest cadenced snapshots but A0
+    (buf[0]) always survives, and order stays chronological."""
+    from mpc4quantum_tpu.models.dmdc import with_history, history_update, history_snapshots
+
+    rng = np.random.default_rng(4)
+    A_true, B_true, X, U, Y = make_linear_system(rng, n=80)
+    m0 = online_from_bootstrap(jnp.zeros((4, 6)), 4, 4, 2, alpha=10.0)
+    h = with_history(m0, n_slots=3, every=10)  # A0 + ring of 2
+    upd = history_update(online_fit_iteration)
+
+    m_ref = m0
+    iA_ref = [np.asarray(m0.A)]
+    for k in range(70):
+        m_ref = online_fit_iteration(m_ref, Y[:, k], X[:, k], U[:, k])
+        h = upd(h, Y[:, k], X[:, k], U[:, k])
+        if (k + 1) % 10 == 0:
+            iA_ref.append(np.asarray(m_ref.A))
+
+    snaps = history_snapshots(h)
+    assert int(h.n_recorded) == 8  # A0 + 7 cadenced
+    assert len(snaps) == 3
+    np.testing.assert_allclose(snaps[0], iA_ref[0], atol=1e-12)   # A0 kept
+    np.testing.assert_allclose(snaps[1], iA_ref[-2], atol=1e-12)  # last two survive
+    np.testing.assert_allclose(snaps[2], iA_ref[-1], atol=1e-12)

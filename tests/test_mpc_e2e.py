@@ -178,3 +178,57 @@ def test_lqr_solver_mode():
     p1 = float(jnp.real(res.xs[3, -1]))
     assert p1 > 0.95, p1
     assert np.all(np.abs(np.asarray(res.us)) <= sat + 1e-8)
+
+
+def test_streaming_discrep_model_update_in_driver():
+    """Streaming DiscrepDMDc (svd/pinv *inside* the scan) end-to-end through
+    mpc() - the reference's `streaming=True` with the discrepancy form
+    (reference mpc.py:281-285 -> model.py:186-207). The svd-based rank gate
+    and pinv correction must compile under the scan and the closed loop must
+    still prep the state."""
+    from mpc4quantum_tpu.models.dmdc import discrep_bootstrap, discrep_fit_iteration
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    d0 = discrep_bootstrap(model.A, 4, 4, model.A.shape[1] - 4, capacity=12)
+    config = m4q.MPCConfig(**{**config.__dict__, "streaming": True})
+    res = m4q.mpc(jnp.asarray(rho0), d0, plant, X_targ, U_targ, Q, R, Qf,
+                  config, sat=sat, du=du, key=jax.random.PRNGKey(1),
+                  model_update_fn=discrep_fit_iteration)
+    assert int(res.exit_code) == 0
+    # snapshots were actually appended to the fixed-capacity buffer
+    assert int(res.model_state.count) == min(config.n_steps, d0.capacity)
+    # and the closed loop still preps the state
+    p1 = float(jnp.real(res.xs[3, -1]))
+    assert p1 > 0.95, f"final P(|1>) = {p1}"
+
+
+def test_streaming_with_in_scan_history():
+    """HistoryState wrapped around the streaming model records iA snapshots
+    *inside* the driver scan (reference model.py:132-135,201-204 - in-loop
+    history the round-1 host-side recorder could not observe)."""
+    from mpc4quantum_tpu.models.dmdc import (
+        with_history, history_update, history_snapshots, online_from_bootstrap,
+        online_fit_iteration,
+    )
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    m0 = online_from_bootstrap(model.A, 4, 4, model.A.shape[1] - 4, alpha=1e2)
+    h0 = with_history(m0, n_slots=6, every=5)
+    config = m4q.MPCConfig(**{**config.__dict__, "streaming": True})
+    res = m4q.mpc(jnp.asarray(rho0), h0, plant, X_targ, U_targ, Q, R, Qf,
+                  config, sat=sat, du=du, key=jax.random.PRNGKey(1),
+                  model_update_fn=history_update(online_fit_iteration))
+    assert int(res.exit_code) == 0
+    hist = res.model_state
+    # 20 steps at every=5 -> 4 cadenced snapshots + A0
+    assert int(hist.it) == config.n_steps
+    assert int(hist.n_recorded) == 1 + config.n_steps // 5
+    snaps = history_snapshots(hist)
+    np.testing.assert_allclose(snaps[0], np.asarray(m0.A), atol=1e-12)  # A0
+    # snapshots differ from A0 (the refit moved the operator) and from each
+    # other (distinct iterations)
+    assert float(np.max(np.abs(snaps[1] - snaps[0]))) > 1e-12
+    assert float(np.max(np.abs(snaps[-1] - snaps[1]))) > 1e-14
+    # final fidelity still holds with the wrapper in the carry
+    p1 = float(jnp.real(res.xs[3, -1]))
+    assert p1 > 0.95, f"final P(|1>) = {p1}"

@@ -15,6 +15,7 @@ from mpc4quantum_tpu.parallel.fleet import (
     make_scenario_batch,
     scenario_mesh,
     fleet_summary,
+    sharded_fleet_summary,
 )
 from mpc4quantum_tpu.models.dmdc import dmdc_from_operator
 
@@ -89,6 +90,37 @@ def test_sharded_matches_batched():
     np.testing.assert_allclose(np.asarray(res_s.us), np.asarray(res_b.us), atol=1e-10)
     np.testing.assert_allclose(np.asarray(res_s.xs), np.asarray(res_b.xs), atol=1e-10)
     np.testing.assert_array_equal(np.asarray(res_s.exit_code), np.asarray(res_b.exit_code))
+
+
+def test_sharded_summary_uses_collectives_and_matches_gathered():
+    """fleet_summary inside shard_map must (a) actually emit pmean/pmin
+    collectives over the mesh axis and (b) equal the gathered reduction."""
+    rho0, model, base_plant, X_targ, U_targ, Q, R, Qf, config, sat, targ = small_problem()
+    n = 8
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(2), base_plant, n, detune_scale=0.02)
+    mesh = scenario_mesh()
+    res = batched_mpc(jnp.asarray(rho0), model, plants, X_targ, U_targ, Q, R, Qf,
+                      config, sat, keys=keys)
+
+    # (a) the lowered program contains cross-device collectives
+    jaxpr_str = str(jax.make_jaxpr(
+        lambda xs, code, iters: sharded_fleet_summary(
+            mesh,
+            res._replace(xs=xs, exit_code=code, sqp_iters=iters, model_state=None),
+            jnp.asarray(targ),
+        )
+    )(res.xs, res.exit_code, res.sqp_iters))
+    assert ("pmin" in jaxpr_str) or ("min_p" in jaxpr_str), jaxpr_str[-2000:]
+    assert ("pmean" in jaxpr_str) or ("psum" in jaxpr_str), jaxpr_str[-2000:]
+
+    # (b) collective reduction == gathered reduction
+    summ_g = fleet_summary(res, jnp.asarray(targ))
+    summ_c = sharded_fleet_summary(mesh, res, jnp.asarray(targ))
+    for k in summ_g:
+        np.testing.assert_allclose(
+            np.asarray(summ_c[k]), np.asarray(summ_g[k]), rtol=1e-6, atol=1e-6,
+            err_msg=k,
+        )
 
 
 def test_sharded_rejects_indivisible_batch():
