@@ -60,6 +60,8 @@ from .plants.quantum import (
     proj_state,
     quantum_step,
     quantum_simulate,
+    quantum_observe,
+    quantum_expectations,
 )
 from .plants.synthesis import SynthesisPlant, lift_unitary, proj_process, synthesis_simulate
 from .plants.classical import ClassicalPlant, VanDerPol, Rotor, rk4_simulate

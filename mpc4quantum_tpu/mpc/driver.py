@@ -130,6 +130,7 @@ def make_mpc_step(
     proj_fn: Callable = proj_state,
     model_update_fn: Optional[Callable] = None,
     exit_condition: Optional[Callable] = None,
+    observe_fn: Optional[Callable] = None,
 ):
     """Build the jittable per-step MPC transition function.
 
@@ -147,6 +148,10 @@ def make_mpc_step(
         (model_state, y, x, ux) -> model_state (e.g. online_fit_iteration).
     :param exit_condition: optional (x_next, x, u) -> bool scalar
         (reference mpc.py:289-292).
+    :param observe_fn: optional (plant, x_plant, key) -> x_measured
+        observation model replacing the default full-state+noise observation
+        (e.g. `quantum_observe` for e_ops expectation-value measurement,
+        reference experiment.py:196-211).
     """
     H = config.horizon
     dim_u = config.dim_u
@@ -229,12 +234,15 @@ def make_mpc_step(
         x_plant = plant_step_fn(plant, x_true, u_apply, config.dt)
 
         is_measure = ((step + 1) % config.measure_freq) == 0
-        rdtype = x_plant.real.dtype
-        noise = plant.sigma * (
-            jax.random.normal(k_noise, x_plant.shape, rdtype)
-            + 1j * jax.random.normal(jax.random.fold_in(k_noise, 1), x_plant.shape, rdtype)
-        ) if hasattr(plant, "sigma") else 0.0
-        x_measured = x_plant + noise
+        if observe_fn is not None:
+            x_measured = observe_fn(plant, x_plant, k_noise)
+        else:
+            rdtype = x_plant.real.dtype
+            noise = plant.sigma * (
+                jax.random.normal(k_noise, x_plant.shape, rdtype)
+                + 1j * jax.random.normal(jax.random.fold_in(k_noise, 1), x_plant.shape, rdtype)
+            ) if hasattr(plant, "sigma") else 0.0
+            x_measured = x_plant + noise
         # the noisy measurement re-seeds the plant too (the reference restarts
         # simulation from the measured value, reference mpc.py:259)
         x_true_next = jnp.where(is_measure, x_measured, x_plant)
@@ -308,6 +316,7 @@ def mpc(
     proj_fn: Callable = proj_state,
     model_update_fn: Optional[Callable] = None,
     exit_condition: Optional[Callable] = None,
+    observe_fn: Optional[Callable] = None,
 ) -> MPCResult:
     """Run the full receding-horizon MPC loop (reference mpc.py:128-304).
 
@@ -343,6 +352,7 @@ def mpc(
         config, Q_s, R_s, sat, du,
         plant_step_fn=plant_step_fn, lift_fn=lift_fn, proj_fn=proj_fn,
         model_update_fn=model_update_fn, exit_condition=exit_condition,
+        observe_fn=observe_fn,
     )
 
     X_guess0 = jnp.tile(lift_x0[:, None].astype(cdtype), (1, H + 1))

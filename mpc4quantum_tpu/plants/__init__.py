@@ -5,6 +5,8 @@ from .quantum import (
     proj_state,
     quantum_step,
     quantum_simulate,
+    quantum_observe,
+    quantum_expectations,
     partial_trace_lift,
     tensor_proj,
     truncate_lift,

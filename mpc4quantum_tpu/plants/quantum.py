@@ -41,11 +41,23 @@ class LiftKind(enum.Enum):
 
 @struct.dataclass
 class QuantumPlant:
-    """Bilinear quantum plant dρ/dt = -i[H0 + Σ u_i H1_i, ρ]."""
+    """Bilinear quantum plant dρ/dt = -i[H0 + Σ u_i H1_i, ρ].
+
+    Optional expectation-value observation mode (`e_ops`, reference
+    experiment.py:196-211): when a list of measurement operators is set, the
+    plant is observed through exps_i = tr(E_i ρ) + noise rather than the full
+    vec(ρ) - the physically honest, device-shaped measurement. `e_obs`
+    holds the stacked observation map (n_e, d^2) with exps = e_obs @ vec(ρ);
+    `e_dual` its pseudo-inverse dual frame, used to re-seed the model from
+    observations (exact when the operator list is informationally complete,
+    least-squares otherwise).
+    """
 
     H0: jnp.ndarray  # (d, d)
     H1s: jnp.ndarray  # (dim_u, d, d)
     sigma: jnp.ndarray  # measurement noise scale (scalar array)
+    e_obs: jnp.ndarray | None = None   # (n_e, d^2) observation map or None
+    e_dual: jnp.ndarray | None = None  # (d^2, n_e) dual frame or None
     lift_kind: LiftKind = struct.field(pytree_node=False, default=LiftKind.IDENTITY)
     lift_dim: int = struct.field(pytree_node=False, default=0)  # subspace dim for TRUNCATE
 
@@ -58,14 +70,29 @@ class QuantumPlant:
         return self.H1s.shape[0]
 
     @classmethod
-    def create(cls, H0, H1s, sigma=0.0, lift_kind=LiftKind.IDENTITY, lift_dim=0):
+    def create(cls, H0, H1s, sigma=0.0, lift_kind=LiftKind.IDENTITY, lift_dim=0,
+               e_ops=None):
+        """:param e_ops: optional list/stack of (d, d) measurement operators;
+        enables expectation-value observation (reference experiment.py
+        `set('e_ops', ...)`)."""
         H0 = jnp.asarray(H0)
         if hasattr(H1s, "ndim") and getattr(H1s, "ndim", 0) == 3:
             H1s = jnp.asarray(H1s, H0.dtype)
         else:
             H1s = jnp.stack([jnp.asarray(H, H0.dtype) for H in H1s])
         rdtype = jnp.zeros(0, H0.dtype).real.dtype
+        e_obs = e_dual = None
+        if e_ops is not None:
+            # always complex: a real H0 must not strip imaginary parts of
+            # measurement operators (e.g. sigma_y)
+            cdt = jnp.promote_types(H0.dtype, jnp.complex64)
+            E = jnp.stack([jnp.asarray(e, cdt) for e in e_ops]) \
+                if not (hasattr(e_ops, "ndim") and getattr(e_ops, "ndim", 0) == 3) else jnp.asarray(e_ops, cdt)
+            # tr(E ρ) = Σ_ab E[a,b] ρ[b,a]; row-major vec(ρ)[b*d+a] = ρ[b,a]
+            e_obs = jnp.swapaxes(E, -1, -2).reshape(E.shape[0], -1)
+            e_dual = jnp.linalg.pinv(e_obs)
         return cls(H0=H0, H1s=H1s, sigma=jnp.asarray(sigma, rdtype),
+                   e_obs=e_obs, e_dual=e_dual,
                    lift_kind=lift_kind, lift_dim=lift_dim)
 
 
@@ -149,6 +176,43 @@ def quantum_step(plant: QuantumPlant, rho_vec, u, dt):
     return (U @ rho @ U.conj().T).reshape(-1)
 
 
+def quantum_expectations(plant: QuantumPlant, xs):
+    """Expectation values tr(E_i ρ) of the plant's e_ops over states.
+
+    :param xs: (d^2,) or (d^2, n) vec(ρ) state(s).
+    :return: (n_e,) or (n_e, n) expectations (complex; real for Hermitian E).
+    """
+    if plant.e_obs is None:
+        raise ValueError("plant has no e_ops configured")
+    return plant.e_obs @ xs.astype(plant.e_obs.dtype)
+
+
+def quantum_observe(plant: QuantumPlant, x, key=None):
+    """Observe the plant state the way a real device would (reference
+    experiment.py:210-212): expectation values of the e_ops list plus i.i.d.
+    complex Gaussian noise of scale sigma, then re-seed a full state estimate
+    through the dual frame x̂ = e_dual @ (e_obs x + noise). Without e_ops this
+    is the reference's full-state observation x + noise.
+
+    Exact reconstruction (up to noise) when e_ops spans the operator space;
+    the least-squares projection otherwise. Use as the driver's `observe_fn`.
+    """
+    if plant.e_obs is None:
+        if key is None:
+            return x
+        rdtype = x.real.dtype
+        noise = jax.random.normal(key, x.shape, rdtype) \
+            + 1j * jax.random.normal(jax.random.fold_in(key, 1), x.shape, rdtype)
+        return x + plant.sigma * noise
+    exps = quantum_expectations(plant, x)
+    if key is not None:
+        rdtype = exps.real.dtype
+        noise = jax.random.normal(key, exps.shape, rdtype) \
+            + 1j * jax.random.normal(jax.random.fold_in(key, 1), exps.shape, rdtype)
+        exps = exps + plant.sigma * noise
+    return plant.e_dual @ exps
+
+
 def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None, use_pallas: bool = False,
                      pallas_interpret: bool = False):
     """Propagate over a control trajectory, returning all intermediate states.
@@ -161,7 +225,10 @@ def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None, use_pallas: bool
     :param use_pallas: compute the per-step propagators with the fused
         batch-on-lanes Pallas kernel (ops/pallas_expm.py) instead of the XLA
         Pade path - the hot-op kernel for large step batches on TPU.
-    :return: (d^2, n+1) states including x0.
+    :return: (d^2, n+1) states including x0 - or, when the plant has e_ops
+        configured, the (n_e, n+1) expectation-value trajectory (reference
+        experiment.py:210-211 `res.expect` mode), noise applied in
+        observation space.
     """
     d = plant.dim_s
     Hs = step_generators(plant.H0, plant.H1s, us)
@@ -179,6 +246,8 @@ def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None, use_pallas: bool
     rho0 = x0.reshape(d, d).astype(Us.dtype)
     _, rhos = jax.lax.scan(step, rho0, Us)
     xs = jnp.concatenate([rho0.reshape(1, -1), rhos.reshape(rhos.shape[0], -1)], axis=0).T
+    if plant.e_obs is not None:
+        xs = quantum_expectations(plant, xs)
     if key is not None:
         kr, ki = jax.random.split(key)
         rdtype = xs.real.dtype

@@ -232,3 +232,39 @@ def test_streaming_with_in_scan_history():
     # final fidelity still holds with the wrapper in the carry
     p1 = float(jnp.real(res.xs[3, -1]))
     assert p1 > 0.95, f"final P(|1>) = {p1}"
+
+
+def test_e_ops_observation_closed_loop():
+    """NOT-state prep observed through a Pauli-basis e_ops measurement with
+    noise (reference experiment.py:196-211 observation mode): the model is
+    re-seeded from expectation values through the dual frame, not the full
+    state, and the closed loop still preps |1>."""
+    from mpc4quantum_tpu.plants.quantum import quantum_observe
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    si = np.eye(2, dtype=complex)
+    sy = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    paulis = [si, SX, sy, SZ]
+    wq = 2 * np.pi * 4
+    plant_eo = m4q.QuantumPlant.create(0.5 * (wq * 0.99 - wq) * SZ, [0.5 * SX],
+                                       sigma=1e-4, e_ops=paulis)
+    res = m4q.mpc(jnp.asarray(rho0), model, plant_eo, X_targ, U_targ, Q, R, Qf,
+                  config, sat=sat, du=du, key=jax.random.PRNGKey(1),
+                  observe_fn=quantum_observe)
+    assert int(res.exit_code) == 0
+    p1 = float(jnp.real(res.xs[3, -1]))
+    assert p1 > 0.95, f"final P(|1>) = {p1}"
+
+    # negative assertion (the reference's lossy-on-entangled pattern): an
+    # INCOMPLETE observation (populations only) re-seeds the model with
+    # zeroed coherences every step; from a diagonal state the population has
+    # no first-order control gradient, so the loop must do measurably worse -
+    # informational completeness is load-bearing, and the observation model
+    # honestly exposes that
+    plant_pop = m4q.QuantumPlant.create(0.5 * (wq * 0.99 - wq) * SZ, [0.5 * SX],
+                                        e_ops=[si, SZ])
+    res2 = m4q.mpc(jnp.asarray(rho0), model, plant_pop, X_targ, U_targ, Q, R, Qf,
+                   config, sat=sat, du=du, key=jax.random.PRNGKey(1),
+                   observe_fn=quantum_observe)
+    p1b = float(jnp.real(res2.xs[3, -1]))
+    assert p1b < p1 - 0.2, f"populations-only observation should degrade: {p1b} vs {p1}"

@@ -192,3 +192,82 @@ def test_rotor_energy_conservation():
     xs = np.asarray(rk4_simulate(plant, jnp.asarray(x0), jnp.asarray(us), 0.3))
     radii = np.linalg.norm(xs, axis=0)
     np.testing.assert_allclose(radii, 1.0, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# e_ops expectation-value observation (reference experiment.py:196-211)
+# ---------------------------------------------------------------------------
+
+
+def _paulis():
+    si = np.eye(2, dtype=complex)
+    sx = np.array([[0, 1], [1, 0]], dtype=complex)
+    sy = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    sz = np.array([[1, 0], [0, -1]], dtype=complex)
+    return [si, sx, sy, sz]
+
+
+def test_e_ops_expectations_match_trace_formula():
+    """quantum_expectations == tr(E_i rho) computed directly."""
+    from mpc4quantum_tpu.plants.quantum import QuantumPlant, quantum_expectations
+
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+    rho = M @ M.conj().T
+    rho = rho / np.trace(rho)
+    e_ops = _paulis()
+    plant = QuantumPlant.create(np.zeros((2, 2)), [0.5 * e_ops[1]], e_ops=e_ops)
+    exps = np.asarray(quantum_expectations(plant, jnp.asarray(rho.flatten())))
+    expected = np.array([np.trace(E @ rho) for E in e_ops])
+    np.testing.assert_allclose(exps, expected, atol=1e-12)
+
+
+def test_e_ops_simulate_returns_expectation_trajectory():
+    """With e_ops set, quantum_simulate returns the (n_e, n+1) expectation
+    trajectory instead of states (reference res.expect mode)."""
+    from mpc4quantum_tpu.plants.quantum import QuantumPlant, quantum_simulate
+
+    sx = _paulis()[1]
+    sz = _paulis()[3]
+    plant_st = QuantumPlant.create(0.3 * sz, [0.5 * sx])
+    plant_eo = QuantumPlant.create(0.3 * sz, [0.5 * sx], e_ops=[sz])
+    rho0 = np.diag([1.0, 0.0]).astype(complex).flatten()
+    us = jnp.asarray(0.2 * np.ones((1, 5)))
+    xs = np.asarray(quantum_simulate(plant_st, jnp.asarray(rho0), us, 0.5))
+    ez = np.asarray(quantum_simulate(plant_eo, jnp.asarray(rho0), us, 0.5))
+    assert ez.shape == (1, 6)
+    # <sz> from the state trajectory
+    expected = np.array([np.trace(sz @ xs[:, t].reshape(2, 2)) for t in range(6)])
+    np.testing.assert_allclose(ez[0], expected, atol=1e-10)
+
+
+def test_e_ops_observe_reconstructs_state_when_complete():
+    """quantum_observe with an informationally complete e_ops list (Pauli
+    basis) reconstructs vec(rho) exactly (noiseless), and with noise sigma the
+    deviation scales with sigma through the dual frame."""
+    from mpc4quantum_tpu.plants.quantum import QuantumPlant, quantum_observe
+
+    rng = np.random.default_rng(1)
+    M = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+    rho = M @ M.conj().T
+    rho = rho / np.trace(rho)
+    x = jnp.asarray(rho.flatten())
+    plant = QuantumPlant.create(np.zeros((2, 2)), [0.5 * _paulis()[1]],
+                                sigma=0.0, e_ops=_paulis())
+    x_rec = np.asarray(quantum_observe(plant, x))
+    np.testing.assert_allclose(x_rec, rho.flatten(), atol=1e-12)
+
+    # incomplete list -> projection, trace information survives via identity
+    plant_inc = QuantumPlant.create(np.zeros((2, 2)), [0.5 * _paulis()[1]],
+                                    e_ops=[_paulis()[0], _paulis()[3]])
+    x_inc = np.asarray(quantum_observe(plant_inc, x))
+    rho_inc = x_inc.reshape(2, 2)
+    np.testing.assert_allclose(np.trace(rho_inc), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.diag(rho_inc), np.diag(rho), atol=1e-12)
+
+    # noisy observation deviates ~ sigma
+    plant_n = QuantumPlant.create(np.zeros((2, 2)), [0.5 * _paulis()[1]],
+                                  sigma=1e-3, e_ops=_paulis())
+    x_noisy = np.asarray(quantum_observe(plant_n, x, key=jax.random.PRNGKey(0)))
+    dev = np.max(np.abs(x_noisy - np.asarray(x)))
+    assert 1e-5 < dev < 1e-1
