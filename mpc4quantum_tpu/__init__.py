@@ -59,6 +59,7 @@ from .plants.quantum import (
     lift_state,
     proj_state,
     quantum_step,
+    quantum_step_taylor,
     quantum_simulate,
     quantum_observe,
     quantum_expectations,

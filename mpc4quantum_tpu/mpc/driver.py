@@ -71,6 +71,20 @@ class MPCConfig:
     # (reference lqr.py semantics, Delta-consistent) - no first-step slew
     # box, but no inner iterative solver: the fast path.
     solver: str = "qp"
+    # box-QP backend: "chol" = adaptive ADMM with Cholesky factorization;
+    # "ns" = fixed-iteration ADMM with Newton-Schulz inverse - matmul-only
+    # and loop-free, the form that batches on the TPU (batched Cholesky /
+    # triangular-solve lowerings are unavailable on the axon backend)
+    qp_backend: str = "chol"
+    # SQP loop form: 0 = lax.while_loop (data-dependent exit, the CPU
+    # default); k > 0 = exactly k python-unrolled masked iterations (no
+    # device loop - the TPU-batched form)
+    sqp_unroll: int = 0
+    # None = the reference's traced warm-start logic (single QP when
+    # step > 1); True/False = static override, letting a host-driven step
+    # loop compile a 1-QP steady-state program separately from the
+    # multi-iteration early-step program
+    single_shot: Optional[bool] = None
     # trajectory recording inside the scan: "dus" (dynamic_update_slice row
     # writes), "onehot" (multiply-add accumulation - no scatter, for backends
     # whose loops lack DUS), "none" (final state only; xs/us outputs zeroed)
@@ -174,7 +188,10 @@ def make_mpc_step(
         u_prev = jnp.where(step > 1, u_last, U_ref[:, 0])
 
         # --- inner IQP/SQP loop ---
-        single_shot = jnp.logical_and(jnp.asarray(config.warm_start), step > 1)
+        if config.single_shot is None:
+            single_shot = jnp.logical_and(jnp.asarray(config.warm_start), step > 1)
+        else:
+            single_shot = jnp.asarray(config.single_shot)
 
         def iqp_cond(s):
             (_, _, _, _, _, n_iter, iqp_done, _) = s
@@ -200,6 +217,7 @@ def make_mpc_step(
                 res = quad_program(
                     lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
                     u_prev=u_prev, sat=sat, du=du, U_warm=Ug, params=config.qp_params,
+                    backend=config.qp_backend,
                 )
             qp_fail = ~res.converged
             obj_inf = ~jnp.isfinite(res.obj)
@@ -220,7 +238,17 @@ def make_mpc_step(
 
         init = (X_guess, U_guess, X_guess, U_guess, jnp.asarray(jnp.inf, X_guess.real.dtype),
                 jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(0, jnp.int32))
-        (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code) = jax.lax.while_loop(iqp_cond, iqp_body, init)
+        if config.sqp_unroll > 0:
+            # flat masked form: exactly sqp_unroll iterations, updates
+            # frozen once the exit condition fires (no device loop)
+            s = init
+            for _ in range(config.sqp_unroll):
+                done_prev = s[6]
+                s_new = iqp_body(s)
+                s = tuple(jnp.where(done_prev, a, b) for a, b in zip(s, s_new))
+            (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code) = s
+        else:
+            (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code) = jax.lax.while_loop(iqp_cond, iqp_body, init)
 
         step_failed = iqp_code > 0
 

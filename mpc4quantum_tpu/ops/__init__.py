@@ -7,4 +7,4 @@ from .library import (
 )
 from .liouville import vectorize_me, discretize_homogeneous, liouville_generator
 from .bilinear import BilinearModel, model_along_traj, model_from_initial
-from .expm import expm_pade, propagators_from_controls
+from .expm import expm_pade, expm_taylor, propagators_from_controls

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.expm import expm_pade, step_generators
+from ..ops.expm import expm_pade, expm_taylor, step_generators
 from ..utils.linalg import isqrt
 
 
@@ -172,6 +172,18 @@ def quantum_step(plant: QuantumPlant, rho_vec, u, dt):
     d = plant.dim_s
     H = plant.H0 + jnp.einsum("u,udc->dc", jnp.asarray(u).reshape(-1).astype(plant.H1s.dtype), plant.H1s)
     U = expm_pade((-1j * dt) * H)
+    rho = rho_vec.reshape(d, d)
+    return (U @ rho @ U.conj().T).reshape(-1)
+
+
+def quantum_step_taylor(plant: QuantumPlant, rho_vec, u, dt):
+    """quantum_step with the matmul-only Taylor expm (no LU solve and no
+    loop primitive in the graph): identical to machine precision for
+    ||dt*H|| <= 16, and the form that batches over scenario lanes on the TPU
+    (batched LU lowerings are unavailable there)."""
+    d = plant.dim_s
+    H = plant.H0 + jnp.einsum("u,udc->dc", jnp.asarray(u).reshape(-1).astype(plant.H1s.dtype), plant.H1s)
+    U = expm_taylor((-1j * dt) * H, fixed_squarings=4)
     rho = rho_vec.reshape(d, d)
     return (U @ rho @ U.conj().T).reshape(-1)
 

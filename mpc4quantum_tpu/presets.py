@@ -241,10 +241,15 @@ def cnot_state(order: int = 1) -> Scenario:
     Qd[[0, 5, 10, 15]] = 1.0  # diagonal populations (reference :453-456)
     Q = jnp.asarray(np.diag(Qd).astype(complex))
     R = jnp.eye(3) * 1e-3
+    # The dim-16/H=50 condensed QP is ill-conditioned; OSQP-default
+    # acceptance costs real fidelity here (0.973 vs 0.994 - measured sweep,
+    # round 2). Tightened targets recover >= 0.98 at ~1.2x solve cost.
+    qp = BoxQPParams(eps_abs=1e-8, eps_rel=1e-8, max_iter=300, n_rounds=3)
     return Scenario(
         name="cnot_state", x0=x0, model=model, plant=plant,
         X_targ=X_targ, U_targ=U_targ, Q=Q, R=R, Qf=Q,
-        config=MPCConfig(horizon=H, n_steps=n_steps, dt=dt, dim_u=3, order=order),
+        config=MPCConfig(horizon=H, n_steps=n_steps, dt=dt, dim_u=3, order=order,
+                         qp_params=qp),
         sat=sat, du=sat, target_state=target,
     )
 

@@ -153,3 +153,110 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None) -> Box
                                 dual <= jnp.maximum(ed, acc_d))
     # Return the projected iterate: always box-feasible.
     return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual, converged=converged)
+
+
+# ---------------------------------------------------------------------------
+# Matmul-only fixed-iteration variant (the TPU-batched hot path)
+# ---------------------------------------------------------------------------
+
+
+def ns_inverse(K, iters: int = 30):
+    """Inverse of an SPD matrix by Newton-Schulz iteration - matmuls only.
+
+    X_{j+1} = X_j (2I - K X_j), X_0 = K / (||K||_1 ||K||_inf). The init
+    guarantees ||I - K X_0|| < 1 for SPD K, so convergence is quadratic;
+    `iters` ~ log2(cond(K)) + ~6 reaches machine precision. Batches over
+    leading dims as pure MXU matmul chains - no triangular solves, which is
+    both the fast TPU form for huge tiny-matrix batches and the only form
+    some TPU backend paths can lower when batched.
+    """
+    K = jnp.asarray(K)
+    d = K.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=K.dtype), K.shape)
+    n1 = jnp.max(jnp.sum(jnp.abs(K), axis=-2), axis=-1)
+    ninf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
+    X = jnp.swapaxes(K, -1, -2) / (n1 * ninf)[..., None, None]
+    for _ in range(iters):
+        X = X @ (2.0 * eye - K @ X)
+    return X
+
+
+def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
+                      unroll: bool = True, ns_iters: int = 30) -> BoxQPResult:
+    """ADMM box-QP with a FIXED iteration schedule and a Newton-Schulz
+    inverse in place of the Cholesky factorization.
+
+    Identical math to `solve_boxqp` (same OSQP-style updates, rho adaptation
+    at round boundaries, acceptance criteria) but with every data-dependent
+    loop removed: `n_rounds` rounds of exactly `max_iter` iterations each,
+    unrolled (or scanned with static length when unroll=False). The entire
+    solve is a flat chain of batched matmuls/elementwise ops - vmap over
+    thousands of scenario lanes maps onto the MXU with no divergent control
+    flow and no factorization lowerings.
+
+    Use `params.max_iter` to budget iterations (fixed cost per solve).
+    """
+    if params is None:
+        params = BoxQPParams()
+    n = q.shape[0]
+    dtype = q.dtype
+    P = 0.5 * (P + P.T)
+    sigma = jnp.asarray(params.sigma, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    diag_scale = jnp.maximum(jnp.mean(jnp.diag(P)), 1e-12)
+    rho_init = params.rho0 * diag_scale
+    x = jnp.clip(jnp.zeros(n, dtype=dtype) if x0 is None else x0, lb, ub)
+    z = x
+    y = jnp.zeros(n, dtype=dtype)
+    rho = jnp.asarray(rho_init, dtype)
+
+    inf_norm = lambda v: jnp.max(jnp.abs(v))
+
+    def residuals(x, z, y):
+        prim = inf_norm(x - z)
+        dual = inf_norm(P @ x + q + y)
+        eps_prim = params.eps_abs + params.eps_rel * jnp.maximum(inf_norm(x), inf_norm(z))
+        eps_dual = params.eps_abs + params.eps_rel * jnp.maximum(
+            jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
+        )
+        return prim, dual, eps_prim, eps_dual
+
+    for _round in range(params.n_rounds):
+        K = P + (sigma + rho) * eye
+        Kinv = ns_inverse(K, iters=ns_iters)
+
+        def body(carry, _):
+            x, z, y = carry
+            x_t = Kinv @ (sigma * x - q + rho * z - y)
+            z_arg = params.alpha * x_t + (1 - params.alpha) * z
+            z_new = jnp.clip(z_arg + y / rho, lb, ub)
+            y_new = y + rho * (z_arg - z_new)
+            return (x_t, z_new, y_new), None
+
+        if unroll:
+            carry = (x, z, y)
+            for _ in range(params.max_iter):
+                carry, _ = body(carry, None)
+            x, z, y = carry
+        else:
+            (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=params.max_iter)
+
+        # rho adaptation between rounds (same balancing rule as solve_boxqp)
+        prim, dual, _, _ = residuals(x, z, y)
+        prim_scaled = prim / jnp.maximum(jnp.maximum(inf_norm(x), inf_norm(z)), 1e-12)
+        dual_scaled = dual / jnp.maximum(
+            jnp.maximum(inf_norm(P @ x), jnp.maximum(inf_norm(q), inf_norm(y))), 1e-12
+        )
+        ratio = jnp.sqrt(prim_scaled / jnp.maximum(dual_scaled, 1e-16))
+        rho = jnp.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale)
+
+    prim, dual, ep, ed = residuals(x, z, y)
+    acc_p = params.accept_abs + params.accept_rel * jnp.maximum(inf_norm(x), inf_norm(z))
+    acc_d = params.accept_abs + params.accept_rel * jnp.maximum(
+        jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
+    )
+    converged = jnp.logical_and(prim <= jnp.maximum(ep, acc_p),
+                                dual <= jnp.maximum(ed, acc_d))
+    iters = jnp.asarray(params.n_rounds * params.max_iter)
+    return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual, converged=converged)

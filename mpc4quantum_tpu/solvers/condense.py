@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .boxqp import BoxQPParams, solve_boxqp
+from .boxqp import BoxQPParams, solve_boxqp, solve_boxqp_fixed
 
 
 class QPResult(NamedTuple):
@@ -43,11 +43,14 @@ class QPResult(NamedTuple):
     converged: jnp.ndarray
 
 
-def condense_horizon(A_s, B_s, Delta_s, x_init):
+def condense_horizon(A_s, B_s, Delta_s, x_init, unroll: bool = False):
     """Build the affine state map x = w + M vec(U).
 
     :param A_s: (H, dim_x, dim_x) complex; :param B_s: (H, dim_x, dim_u);
     :param Delta_s: (H, dim_x); :param x_init: (dim_x,).
+    :param unroll: python-unroll the horizon recursion (no lax.scan in the
+        graph - the flat form for TPU backends whose batched loop lowerings
+        are fragile; H is small and static so the cost is compile time only).
     :return: w (H+1, dim_x), M (H+1, dim_x, H, dim_u). vec(U) stacks
         u_0..u_{H-1} (time-major), so M[t, :, s, :] maps u_s -> x_t.
     """
@@ -63,7 +66,17 @@ def condense_horizon(A_s, B_s, Delta_s, x_init):
 
     w0 = x_init.astype(A_s.dtype)
     M0 = jnp.zeros((dim_x, H, dim_u), dtype=A_s.dtype)
-    (_, _), (w_tail, M_tail) = jax.lax.scan(step, (w0, M0), (A_s, B_s, Delta_s, eye_H))
+    if unroll:
+        carry = (w0, M0)
+        ws, Ms = [], []
+        for t in range(H):
+            carry, _ = step(carry, (A_s[t], B_s[t], Delta_s[t], eye_H[t]))
+            ws.append(carry[0])
+            Ms.append(carry[1])
+        w_tail = jnp.stack(ws)
+        M_tail = jnp.stack(Ms)
+    else:
+        (_, _), (w_tail, M_tail) = jax.lax.scan(step, (w0, M0), (A_s, B_s, Delta_s, eye_H))
     w = jnp.concatenate([w0[None], w_tail], axis=0)
     M = jnp.concatenate([M0[None], M_tail], axis=0)
     return w, M
@@ -120,6 +133,7 @@ def quad_program(
     du=None,
     U_warm=None,
     params: BoxQPParams | None = None,
+    backend: str = "chol",
 ) -> QPResult:
     """Solve the LTV horizon tracking QP (reference optimize.py:12-60 shape).
 
@@ -132,15 +146,21 @@ def quad_program(
         crashes the CVXPY build, reference optimize.py:43). Use jnp.inf to
         disable.
     :param U_warm: optional (dim_u, H) warm start for ADMM.
+    :param backend: "chol" (adaptive ADMM, Cholesky factorization) or "ns"
+        (fixed-iteration ADMM with a Newton-Schulz inverse: matmul-only and
+        loop-free - the batched TPU hot path; condensing is also unrolled).
     """
     H = U_bm.shape[1]
     dim_u = U_bm.shape[0]
-    w, M = condense_horizon(A_s, B_s, Delta_s, x_init)
+    w, M = condense_horizon(A_s, B_s, Delta_s, x_init, unroll=(backend == "ns"))
     P, q, _ = _assemble_cost(w, M, X_bm, U_bm, Q_s, R_s)
     rdtype = P.dtype
     lb, ub = _box_bounds(dim_u, H, sat if sat is not None else jnp.inf, u_prev, du, rdtype)
     x0 = None if U_warm is None else U_warm.T.reshape(-1).astype(rdtype)
-    res = solve_boxqp(P, q, lb, ub, x0=x0, params=params)
+    if backend == "ns":
+        res = solve_boxqp_fixed(P, q, lb, ub, x0=x0, params=params)
+    else:
+        res = solve_boxqp(P, q, lb, ub, x0=x0, params=params)
 
     Uvec = res.x
     U_opt = Uvec.reshape(H, dim_u).T

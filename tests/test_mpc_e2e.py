@@ -268,3 +268,31 @@ def test_e_ops_observation_closed_loop():
                    observe_fn=quantum_observe)
     p1b = float(jnp.real(res2.xs[3, -1]))
     assert p1b < p1 - 0.2, f"populations-only observation should degrade: {p1b} vs {p1}"
+
+
+def test_tpu_safe_path_matches_default():
+    """The matmul-only TPU-batched configuration (qp_backend='ns',
+    sqp_unroll, Taylor expm plant step - no Cholesky/LU/while_loop anywhere
+    in the graph) must reproduce the default path's closed loop."""
+    import dataclasses
+    from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+    from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    res_d = m4q.mpc(jnp.asarray(rho0), model, plant, X_targ, U_targ, Q, R, Qf,
+                    config, sat=sat, du=du, key=jax.random.PRNGKey(1))
+    # the measured iteration budget (see STATUS): fixed 2x60 ADMM + 8 SQP
+    # reproduces the adaptive path's pulses to ~3e-3*sat
+    cfg_s = dataclasses.replace(config, qp_backend="ns", sqp_unroll=8,
+                                qp_params=BoxQPParams(max_iter=60, n_rounds=2))
+    res_s = m4q.mpc(jnp.asarray(rho0), model, plant, X_targ, U_targ, Q, R, Qf,
+                    cfg_s, sat=sat, du=du, key=jax.random.PRNGKey(1),
+                    plant_step_fn=quantum_step_taylor)
+    assert int(res_s.exit_code) == 0
+    p1_d = float(jnp.real(res_d.xs[3, -1]))
+    p1_s = float(jnp.real(res_s.xs[3, -1]))
+    assert p1_s > 0.99, p1_s
+    # same pulses to solver tolerance
+    np.testing.assert_allclose(np.asarray(res_s.us), np.asarray(res_d.us),
+                               atol=5e-3 * sat)
+    assert abs(p1_s - p1_d) < 1e-3

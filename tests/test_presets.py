@@ -67,8 +67,10 @@ def test_cnot_state_preset():
     res = run(sc)
     assert int(res.exit_code) == 0
     xf = np.asarray(res.xs)[:, -1].reshape(4, 4)
-    # target |01><01|: population at (1,1) index of the 4-level system
-    assert float(np.real(xf[1, 1])) > 0.95, float(np.real(xf[1, 1]))
+    # target |01><01|: population at (1,1) index of the 4-level system.
+    # 0.98 bar needs the preset's tightened QP acceptance (measured: OSQP
+    # defaults reach only 0.973 on this ill-conditioned config)
+    assert float(np.real(xf[1, 1])) > 0.98, float(np.real(xf[1, 1]))
 
 
 def test_not_gate_preset_reference_length():
@@ -95,3 +97,30 @@ def test_not_gate_completes_with_enough_steps():
     xf = np.asarray(res.xs)[:, int(res.n_valid)]
     d = xf - sc.target_state
     assert float(np.real(np.vdot(d, d))) < 1e-2
+
+
+def test_not_state_discretization_orders_3_and_4():
+    """Order-3/4 Dyson discretization end-to-end (the reference sweeps the
+    gate scenario over order in 1..4, test_mpc4quantum.py:49, and state prep
+    over 1..2): higher order must not regress the flagship fidelity."""
+    import pytest
+
+    for order in (3, 4):
+        sc = presets.not_state(order=order)
+        res = run(sc)
+        assert int(res.exit_code) == 0, order
+        p1 = float(jnp.real(res.xs[3, -1]))
+        assert p1 > 0.99, f"order {order}: final P(|1>) = {p1}"
+
+
+def test_not_gate_order3():
+    """Gate synthesis at discretization order 3 (reference sweeps 1..4 at
+    test_mpc4quantum.py:49): the higher-order model must steer the process
+    cost down at least as well as order 1."""
+    sc = presets.not_gate(order=3)
+    res = run(sc)
+    assert int(res.exit_code) == 0
+    objs = np.asarray(res.objs)
+    n = int(res.n_valid)
+    # same monotone-cost-reduction bar as the order-1 preset test
+    assert objs[n - 1] < 0.5 * objs[0], (objs[0], objs[n - 1])

@@ -22,11 +22,16 @@ def test_scaling_report_runs_and_scales():
         jax.block_until_ready(res.us)
         return res
 
-    rows = scaling_report(run_shard, batch_per_device=2, device_counts=[1, 2, 4], reps=1)
+    rows = scaling_report(run_shard, batch_per_device=2, device_counts=[1, 2, 4], reps=2)
     assert [r["devices"] for r in rows] == [1, 2, 4]
     assert rows[0]["efficiency"] == 1.0
     for r in rows:
         assert r["best_s"] > 0
-    # no strict efficiency assertion on a shared CPU host; just sanity that
-    # larger meshes are not catastrophically slower per device
-    assert rows[-1]["efficiency"] > 0.1
+    print("weak-scaling efficiencies:", [(r["devices"], round(r["efficiency"], 3)) for r in rows])
+    # real teeth on the virtual mesh (4 physical cores): >= 50% weak-scaling
+    # efficiency at every mesh size. The >= 80% @ N >= 2 hosts target of
+    # BASELINE.md applies to real multi-chip ICI, which this host cannot
+    # emulate faithfully; 0.5 catches per-device pathologies (resharding,
+    # accidental replication of the rollout) without flaking on CPU noise.
+    for r in rows:
+        assert r["efficiency"] >= 0.5, rows

@@ -179,3 +179,79 @@ def test_objective_value_consistency():
     res = quad_program(jnp.asarray(x0), X_bm, U_bm, Q_s, R_s, A_s, B_s, D_s, sat=1.0)
     obj2 = objective_value(res.X, res.U, X_bm, U_bm, Q_s, R_s)
     np.testing.assert_allclose(float(res.obj), float(obj2), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Matmul-only fixed-iteration path (the TPU-batched hot path)
+# ---------------------------------------------------------------------------
+
+
+def test_ns_inverse_matches_linalg_inv():
+    from mpc4quantum_tpu.solvers.boxqp import ns_inverse
+
+    rng = np.random.default_rng(0)
+    for n, iters in [(4, 30), (10, 30), (30, 35)]:
+        A = rng.normal(size=(n, n))
+        K = A @ A.T + 0.1 * np.eye(n)  # SPD
+        X = np.asarray(ns_inverse(jnp.asarray(K), iters=iters))
+        np.testing.assert_allclose(X, np.linalg.inv(K), atol=1e-8)
+    # batched over leading dims
+    Ks = np.stack([rng.normal(size=(6, 6)) for _ in range(5)])
+    Ks = np.einsum("bij,bkj->bik", Ks, Ks) + 0.1 * np.eye(6)
+    Xs = np.asarray(ns_inverse(jnp.asarray(Ks), iters=30))
+    for b in range(5):
+        np.testing.assert_allclose(Xs[b], np.linalg.inv(Ks[b]), atol=1e-8)
+
+
+def test_boxqp_fixed_matches_adaptive():
+    """solve_boxqp_fixed (Newton-Schulz, fixed iterations, no loops) reaches
+    the same optimum as the adaptive Cholesky ADMM."""
+    from mpc4quantum_tpu.solvers.boxqp import solve_boxqp_fixed
+
+    rng = np.random.default_rng(5)
+    n = 12
+    A = rng.normal(size=(n, n))
+    P = A @ A.T + 0.5 * np.eye(n)
+    q = rng.normal(size=n)
+    lb, ub = -0.4 * np.ones(n), 0.4 * np.ones(n)
+    res_a = solve_boxqp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(lb), jnp.asarray(ub))
+    res_f = solve_boxqp_fixed(jnp.asarray(P), jnp.asarray(q), jnp.asarray(lb), jnp.asarray(ub))
+    assert bool(res_f.converged)
+    np.testing.assert_allclose(np.asarray(res_f.x), np.asarray(res_a.x), atol=1e-5)
+    # scanned (non-unrolled) form is identical
+    res_s = solve_boxqp_fixed(jnp.asarray(P), jnp.asarray(q), jnp.asarray(lb), jnp.asarray(ub),
+                              unroll=False)
+    np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_f.x), atol=1e-12)
+
+
+def test_quad_program_ns_backend_matches_chol():
+    _, x0, X_bm, U_bm, Q_s, R_s, A_s, B_s, D_s = make_horizon_problem()
+    sat = 2 * np.pi * 0.1
+    du = 0.5 * sat
+    u_prev = jnp.zeros(1)
+    res_c = quad_program(jnp.asarray(x0), X_bm, U_bm, Q_s, R_s, A_s, B_s, D_s,
+                         u_prev=u_prev, sat=sat, du=du)
+    res_n = quad_program(jnp.asarray(x0), X_bm, U_bm, Q_s, R_s, A_s, B_s, D_s,
+                         u_prev=u_prev, sat=sat, du=du, backend="ns")
+    assert bool(res_n.converged)
+    np.testing.assert_allclose(np.asarray(res_n.U), np.asarray(res_c.U), atol=2e-5)
+
+
+def test_expm_taylor_matches_pade():
+    from mpc4quantum_tpu.ops.expm import expm_pade, expm_taylor
+    import scipy.linalg
+
+    rng = np.random.default_rng(7)
+    # range of norms incl. ones requiring several squarings
+    for scale in [0.1, 1.0, 5.0, 20.0]:
+        Hm = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        Hm = (Hm + Hm.conj().T) / 2
+        A = -1j * scale * Hm
+        E_t = np.asarray(expm_taylor(jnp.asarray(A)))
+        E_ref = scipy.linalg.expm(A)
+        np.testing.assert_allclose(E_t, E_ref, atol=1e-10)
+    # batched
+    As = -1j * np.stack([rng.normal(size=(4, 4)) for _ in range(6)]).astype(complex)
+    E_t = np.asarray(expm_taylor(jnp.asarray(As)))
+    E_p = np.asarray(expm_pade(jnp.asarray(As)))
+    np.testing.assert_allclose(E_t, E_p, atol=1e-10)
