@@ -170,16 +170,17 @@ def make_mpc_step(
     H = config.horizon
     dim_u = config.dim_u
 
-    def step_fn(carry, step, plant, model_state, X_targ, U_targ):
+    def _context(carry, step, plant, model_state, X_targ, U_targ):
+        """Per-step quantities shared by the SQP iterations and the advance."""
         (x_cur, x_true, X_guess, U_guess, u_last, key, exit_code, done) = carry
         dim_x = X_guess.shape[0]
 
         # --- reference window (with the reference's one-step lag quirk) ---
         start = jnp.maximum(step - 1, 0)
-        X_ref = jax.lax.dynamic_slice(X_targ, (0, start), (dim_x, H + 1))
-        U_ref = jax.lax.dynamic_slice(U_targ, (0, start), (dim_u, H))
+        zero = jnp.zeros((), start.dtype)  # match index dtypes (int32 step inputs)
+        X_ref = jax.lax.dynamic_slice(X_targ, (zero, start), (dim_x, H + 1))
+        U_ref = jax.lax.dynamic_slice(U_targ, (zero, start), (dim_u, H))
 
-        # --- fixed per-step quantities ---
         bmodel = BilinearModel.from_stacked(
             model_state.A[:, :dim_x], model_state.A[:, dim_x:], dim_u, config.order
         )
@@ -187,15 +188,24 @@ def make_mpc_step(
         # u_prev quirk (reference mpc.py:185): benchmark control at steps 0, 1
         u_prev = jnp.where(step > 1, u_last, U_ref[:, 0])
 
-        # --- inner IQP/SQP loop ---
         if config.single_shot is None:
             single_shot = jnp.logical_and(jnp.asarray(config.warm_start), step > 1)
         else:
             single_shot = jnp.asarray(config.single_shot)
+        return X_ref, U_ref, bmodel, lift_x, u_prev, single_shot
 
-        def iqp_cond(s):
-            (_, _, _, _, _, n_iter, iqp_done, _) = s
-            return jnp.logical_and(~iqp_done, n_iter < config.max_iter)
+    def sqp_init(carry):
+        """Initial SQP state s = (Xg, Ug, X_opt, U_opt, obj, n_iter, done, code)."""
+        X_guess, U_guess = carry[2], carry[3]
+        return (X_guess, U_guess, X_guess, U_guess,
+                jnp.asarray(jnp.inf, X_guess.real.dtype),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(0, jnp.int32))
+
+    def sqp_iter(s, carry, step, plant, model_state, X_targ, U_targ):
+        """One masked SQP iteration (frozen once the exit condition fired) -
+        individually jittable for host-driven fine-grained step loops."""
+        X_ref, U_ref, bmodel, lift_x, u_prev, single_shot = _context(
+            carry, step, plant, model_state, X_targ, U_targ)
 
         def iqp_body(s):
             (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code) = s
@@ -236,20 +246,32 @@ def make_mpc_step(
             Ug_new = Ug + upd * alpha * (res.U - Ug)
             return (Xg_new, Ug_new, res.X, res.U, res.obj, n_iter + 1, iqp_done, new_code)
 
-        init = (X_guess, U_guess, X_guess, U_guess, jnp.asarray(jnp.inf, X_guess.real.dtype),
-                jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        done_prev = s[6]
+        s_new = iqp_body(s)
+        return tuple(jnp.where(done_prev, a, b) for a, b in zip(s, s_new))
+
+    def run_sqp(carry, step, plant, model_state, X_targ, U_targ):
+        ctx_args = (carry, step, plant, model_state, X_targ, U_targ)
+        init = sqp_init(carry)
         if config.sqp_unroll > 0:
             # flat masked form: exactly sqp_unroll iterations, updates
             # frozen once the exit condition fires (no device loop)
             s = init
             for _ in range(config.sqp_unroll):
-                done_prev = s[6]
-                s_new = iqp_body(s)
-                s = tuple(jnp.where(done_prev, a, b) for a, b in zip(s, s_new))
-            (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code) = s
-        else:
-            (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code) = jax.lax.while_loop(iqp_cond, iqp_body, init)
+                s = sqp_iter(s, *ctx_args)
+            return s
+        def iqp_cond(s):
+            (_, _, _, _, _, n_iter, iqp_done, _) = s
+            return jnp.logical_and(~iqp_done, n_iter < config.max_iter)
+        return jax.lax.while_loop(iqp_cond, lambda s: sqp_iter(s, *ctx_args), init)
 
+    def advance(carry, s, step, plant, model_state, X_targ, U_targ):
+        """Apply the SQP result: first control -> plant, measurement, model
+        closure, streaming refit, guess shifting, exit bookkeeping."""
+        (x_cur, x_true, X_guess, U_guess, u_last, key, exit_code, done) = carry
+        dim_x = X_guess.shape[0]
+        (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code) = s
+        _, _, bmodel, lift_x, _, _ = _context(carry, step, plant, model_state, X_targ, U_targ)
         step_failed = iqp_code > 0
 
         # --- apply first control; propagate TRUE plant + observation ---
@@ -323,6 +345,15 @@ def make_mpc_step(
         )
         return carry_new, model_state, outputs
 
+    def step_fn(carry, step, plant, model_state, X_targ, U_targ):
+        s = run_sqp(carry, step, plant, model_state, X_targ, U_targ)
+        return advance(carry, s, step, plant, model_state, X_targ, U_targ)
+
+    # expose the pieces for host-driven fine-grained loops (mpc/hostloop.py):
+    # one SQP iteration and the advance are each small jittable programs
+    step_fn.sqp_init = sqp_init
+    step_fn.sqp_iter = sqp_iter
+    step_fn.advance = advance
     return step_fn
 
 

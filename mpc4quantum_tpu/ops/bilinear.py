@@ -111,10 +111,39 @@ def model_along_traj(model: BilinearModel, X, U):
 
     :param X: (dim_x, H) states; :param U: (dim_u, H) controls.
     :return: (A_s, B_s, Delta_s) with shapes (H, dim_x, dim_x),
-        (H, dim_x, dim_u), (H, dim_x). One vmap over the horizon replaces the
-        python loop of reference linearize.py:61-70.
+        (H, dim_x, dim_u), (H, dim_x).
+
+    The horizon axis is batched NATIVELY in single einsum contractions (not
+    an inner vmap), replacing the python loop of reference linearize.py:61-70.
+    Natively-batched contractions keep the op structure identical whether or
+    not an outer scenario vmap wraps this function - double-vmapped
+    contractions are both slower and unsupported on some TPU backend paths.
+
+    Exactness note: the model is linear in x, so f(x, u) = df_dx(u) @ x and
+    the affine residual collapses to Delta_t = -B_t u_t (same value the
+    reference computes via f - A x - B u at linearize.py:65-69).
     """
-    return jax.vmap(lambda x, u: _affine_at(model, x, u), in_axes=(1, 1))(X, U)
+    dim_x = model.dim_x
+    Lm = model.polyu_dim
+    H = U.shape[1]
+    cdt = model.N.dtype
+    polyu = model.lift_u(U).astype(cdt)                     # (Lm, H)
+    dpowers, dcoefs = diff_library_powers(model.order, model.dim_u)
+    dpolyu = diff_lift_controls(U, dpowers, dcoefs).astype(cdt)  # (dim_u, Lm, H)
+
+    # All contractions as plain (batched) 2-D matmuls + reshapes - the most
+    # uniformly supported lowering, and the MXU-native form:
+    #   A_t = A + sum_l f_l(u_t) N_l      : (H, Lm) @ (Lm, x*y)
+    N_flat = jnp.transpose(model.N, (1, 0, 2)).reshape(Lm, dim_x * dim_x)
+    A_s = model.A[None] + (polyu.T @ N_flat).reshape(H, dim_x, dim_x)
+    #   (N x)_t[:, l] = N[:, l, :] @ x_t  : (x*l, y) @ (y, H)
+    NX = (model.N.reshape(dim_x * Lm, dim_x) @ X.astype(cdt))
+    NX = jnp.transpose(NX.reshape(dim_x, Lm, H), (2, 0, 1))          # (H, x, Lm)
+    #   B_t = (N x)_t @ (d f/d u)_t^T     : batched (x, Lm) @ (Lm, dim_u)
+    B_s = NX @ jnp.transpose(dpolyu, (2, 1, 0))                      # (H, x, dim_u)
+    #   Delta_t = -B_t u_t (model linear in x => f = df_dx x exactly)
+    D_s = -(B_s @ jnp.transpose(U.astype(cdt), (1, 0))[:, :, None])[:, :, 0]
+    return A_s, B_s, D_s
 
 
 def model_from_initial(model: BilinearModel, X, U):

@@ -53,14 +53,21 @@ def lift_controls(us, powers) -> jnp.ndarray:
     """
     us = jnp.atleast_2d(us)
     powers = np.asarray(powers)
-    # (L, dim_u, n) broadcasted powers; negative exponent -> the whole
-    # monomial is annihilated.
-    terms = jnp.where(
-        (powers < 0)[:, :, None],
-        jnp.zeros((1, 1, 1), dtype=us.dtype),
-        us[None, :, :] ** jnp.asarray(np.maximum(powers, 0))[:, :, None].astype(us.dtype),
-    )
-    return jnp.prod(terms, axis=1)
+    # The exponents are tiny static ints (<= order), so each monomial is an
+    # unrolled chain of multiplies - no pow/reduce-prod in the graph (both
+    # are exotic lowerings some TPU backend paths lack when batched, and the
+    # multiplies are cheaper anyway). Negative exponent -> monomial is 0.
+    cols = []
+    for row in powers:
+        if (row < 0).any():
+            cols.append(jnp.zeros(us.shape[1:], us.dtype))
+            continue
+        acc = None
+        for i, p in enumerate(row):
+            for _ in range(int(p)):
+                acc = us[i] if acc is None else acc * us[i]
+        cols.append(jnp.ones(us.shape[1:], us.dtype) if acc is None else acc)
+    return jnp.stack(cols, axis=0)
 
 
 def diff_library_powers(order: int, dim_u: int):

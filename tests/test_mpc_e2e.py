@@ -296,3 +296,36 @@ def test_tpu_safe_path_matches_default():
     np.testing.assert_allclose(np.asarray(res_s.us), np.asarray(res_d.us),
                                atol=5e-3 * sat)
     assert abs(p1_s - p1_d) < 1e-3
+
+
+def test_hostloop_driver_matches_scan_driver():
+    """The host-driven chunked driver (mpc/hostloop.py) is built from the
+    same make_mpc_step pieces as the scan driver; on a batch of scenarios it
+    must reproduce the scan driver's pulses and final states lane-for-lane
+    (noiseless plants -> deterministic)."""
+    import dataclasses
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+    from mpc4quantum_tpu.parallel.fleet import make_scenario_batch, batched_mpc
+    from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+    from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), plant, 4, detune_scale=0.01)
+
+    cfg = dataclasses.replace(config, qp_backend="ns", sqp_unroll=0,
+                              qp_params=BoxQPParams(max_iter=60, n_rounds=2))
+    # scan driver reference run (same NS backend and taylor plant so the
+    # only difference is the loop form)
+    cfg_scan = dataclasses.replace(cfg, sqp_unroll=12)
+    res_scan = batched_mpc(jnp.asarray(rho0), model, plants, X_targ, U_targ, Q, R, Qf,
+                           cfg_scan, sat, du=du, keys=keys,
+                           plant_step_fn=quantum_step_taylor)
+
+    runner = HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
+                         warm_sqp_iters=12)
+    out = runner.run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys)
+
+    np.testing.assert_allclose(out["us"], np.asarray(res_scan.us), atol=1e-8)
+    np.testing.assert_allclose(out["final_x"], np.asarray(res_scan.xs[:, :, -1]), atol=1e-8)
+    np.testing.assert_array_equal(out["exit_code"], np.asarray(res_scan.exit_code))
+    assert np.all(out["final_x"][:, 3].real > 0.99)
