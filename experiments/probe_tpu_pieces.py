@@ -364,6 +364,42 @@ def m0e():
     return digest(jax.jit(prog)(split_cx(model), Ug))
 
 
+
+@piece("m0h_cast_complex_matmul")
+def m0h():
+    def prog(model_s, Ug):
+        m = merge_cx(model_s)
+        W = m.A[:2, :]              # (2, 12) complex, genuinely used
+
+        def one(U):
+            u0 = U[0]
+            st = jnp.stack([u0, u0 * u0], axis=0)          # (2, H) real
+            Z = st.T.astype(W.dtype) @ W                   # cast-complex matmul
+            return jnp.mean(jnp.abs(Z))
+
+        return jnp.mean(jax.vmap(one)(Ug)).astype(jnp.float32).reshape(1)
+    return digest(jax.jit(prog)(split_cx(model), Ug))
+
+
+@piece("m0i_splitreal_matmul")
+def m0i():
+    def prog(model_s, Ug):
+        m = merge_cx(model_s)
+        W = m.A[:2, :]
+        Wre, Wim = jnp.real(W), jnp.imag(W)
+
+        def one(U):
+            u0 = U[0]
+            st = jnp.stack([u0, u0 * u0], axis=0)
+            Zre = st.T @ Wre                               # real-only matmuls
+            Zim = st.T @ Wim
+            Z = jax.lax.complex(Zre, Zim)
+            return jnp.mean(jnp.abs(Z))
+
+        return jnp.mean(jax.vmap(one)(Ug)).astype(jnp.float32).reshape(1)
+    return digest(jax.jit(prog)(split_cx(model), Ug))
+
+
 def main():
     print("device:", jax.devices()[0], flush=True)
     for i, (name, fn) in enumerate(PIECES):

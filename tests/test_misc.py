@@ -73,8 +73,18 @@ def test_trim_cuts_to_executed_steps():
                   exit_condition=exit_cond)
     xs, us = trim(res)
     n = int(res.n_valid)
-    assert us.shape[1] == n
-    assert xs.shape[1] == n + 1
+    assert int(res.exit_code) == 1
+    # reference early-exit slicing (mpc.py:298-304): a code-1 exit DROPS the
+    # last attempted entry - the control that triggered the exit and the
+    # resulting state - so n-1 controls and n states survive
+    assert us.shape[1] == n - 1
+    assert xs.shape[1] == n
+    # a normal completion keeps everything
+    res0 = m4q.mpc(jnp.asarray(rho0), model, plant, X_targ, U_targ, Q, R, Qf,
+                   config, sat=sat, du=du, key=jax.random.PRNGKey(1))
+    xs0, us0 = trim(res0)
+    assert us0.shape[1] == int(res0.n_valid) == config.n_steps
+    assert xs0.shape[1] == config.n_steps + 1
 
 
 def test_qp_failure_sets_exit_code_2():
