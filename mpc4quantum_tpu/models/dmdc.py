@@ -50,11 +50,16 @@ def get_discrete(model):
 
 
 def predict(model, x, u):
-    """Predict y from x (dim_x, n) and u (dim_u, n) (reference model.py:81-93)."""
-    A_x, A_u = get_discrete(model)
+    """Predict y from x (dim_x, n) and u (dim_u, n) (reference model.py:81-93).
+
+    Mixed real/complex products go through cx_mm (no real->complex convert
+    feeding a dot - unimplemented batched lowering on the axon TPU)."""
+    from ..utils.linalg import cx_mm
+
     x = x.reshape(model.dim_x, -1)
     u = u.reshape(model.dim_u, -1)
-    return A_x @ x.astype(A_x.dtype) + A_u @ u.astype(A_u.dtype)
+    A_x, A_u = get_discrete(model)
+    return cx_mm(A_x, x) + cx_mm(A_u, u)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from .library import (
     diff_lift_controls,
     size_of_library,
 )
+from ..utils.linalg import cx_mm
 
 
 @struct.dataclass
@@ -126,23 +127,25 @@ def model_along_traj(model: BilinearModel, X, U):
     dim_x = model.dim_x
     Lm = model.polyu_dim
     H = U.shape[1]
-    cdt = model.N.dtype
-    polyu = model.lift_u(U).astype(cdt)                     # (Lm, H)
+    polyu = model.lift_u(U)                                       # (Lm, H) real
     dpowers, dcoefs = diff_library_powers(model.order, model.dim_u)
-    dpolyu = diff_lift_controls(U, dpowers, dcoefs).astype(cdt)  # (dim_u, Lm, H)
+    dpolyu = diff_lift_controls(U, dpowers, dcoefs)               # (dim_u, Lm, H) real
 
     # All contractions as plain (batched) 2-D matmuls + reshapes - the most
-    # uniformly supported lowering, and the MXU-native form:
+    # uniformly supported lowering and the MXU-native form - with mixed
+    # real/complex products routed through cx_mm (a dot fed by a
+    # real->complex convert is an unimplemented batched lowering on the
+    # axon backend; split-real matmuls are also FLOP-cheaper):
     #   A_t = A + sum_l f_l(u_t) N_l      : (H, Lm) @ (Lm, x*y)
     N_flat = jnp.transpose(model.N, (1, 0, 2)).reshape(Lm, dim_x * dim_x)
-    A_s = model.A[None] + (polyu.T @ N_flat).reshape(H, dim_x, dim_x)
+    A_s = model.A[None] + cx_mm(polyu.T, N_flat).reshape(H, dim_x, dim_x)
     #   (N x)_t[:, l] = N[:, l, :] @ x_t  : (x*l, y) @ (y, H)
-    NX = (model.N.reshape(dim_x * Lm, dim_x) @ X.astype(cdt))
+    NX = cx_mm(model.N.reshape(dim_x * Lm, dim_x), X)
     NX = jnp.transpose(NX.reshape(dim_x, Lm, H), (2, 0, 1))          # (H, x, Lm)
     #   B_t = (N x)_t @ (d f/d u)_t^T     : batched (x, Lm) @ (Lm, dim_u)
-    B_s = NX @ jnp.transpose(dpolyu, (2, 1, 0))                      # (H, x, dim_u)
+    B_s = cx_mm(NX, jnp.transpose(dpolyu, (2, 1, 0)))                # (H, x, dim_u)
     #   Delta_t = -B_t u_t (model linear in x => f = df_dx x exactly)
-    D_s = -(B_s @ jnp.transpose(U.astype(cdt), (1, 0))[:, :, None])[:, :, 0]
+    D_s = -cx_mm(B_s, jnp.transpose(U, (1, 0))[:, :, None])[:, :, 0]
     return A_s, B_s, D_s
 
 

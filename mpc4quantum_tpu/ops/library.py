@@ -111,4 +111,6 @@ def krtimes(A, B) -> jnp.ndarray:
     A = jnp.atleast_2d(A)
     B = jnp.atleast_2d(B)
     n = A.shape[1]
-    return jnp.einsum("an,bn->abn", A, B).reshape(-1, n)
+    # broadcast multiply (no einsum/dot): elementwise complex x real mixes
+    # lower uniformly on every backend path
+    return (A[:, None, :] * B[None, :, :]).reshape(-1, n)

@@ -170,7 +170,8 @@ def proj_state(plant: QuantumPlant, z):
 def quantum_step(plant: QuantumPlant, rho_vec, u, dt):
     """One exact ZOH step: rho' = U rho U^H, U = expm(-i dt H(u))."""
     d = plant.dim_s
-    H = plant.H0 + jnp.einsum("u,udc->dc", jnp.asarray(u).reshape(-1).astype(plant.H1s.dtype), plant.H1s)
+    uv = jnp.asarray(u).reshape(-1)
+    H = plant.H0 + jnp.sum(uv[:, None, None] * plant.H1s, axis=0)
     U = expm_pade((-1j * dt) * H)
     rho = rho_vec.reshape(d, d)
     return (U @ rho @ U.conj().T).reshape(-1)
@@ -182,7 +183,10 @@ def quantum_step_taylor(plant: QuantumPlant, rho_vec, u, dt):
     ||dt*H|| <= 16, and the form that batches over scenario lanes on the TPU
     (batched LU lowerings are unavailable there)."""
     d = plant.dim_s
-    H = plant.H0 + jnp.einsum("u,udc->dc", jnp.asarray(u).reshape(-1).astype(plant.H1s.dtype), plant.H1s)
+    # generator assembled with an elementwise multiply-add (dim_u is tiny;
+    # a real-u contraction against complex H1s would be a cast-fed dot)
+    uv = jnp.asarray(u).reshape(-1)
+    H = plant.H0 + jnp.sum(uv[:, None, None] * plant.H1s, axis=0)
     U = expm_taylor((-1j * dt) * H, fixed_squarings=4)
     rho = rho_vec.reshape(d, d)
     return (U @ rho @ U.conj().T).reshape(-1)

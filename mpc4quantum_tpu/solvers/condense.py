@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxqp import BoxQPParams, solve_boxqp, solve_boxqp_fixed
+from ..utils.linalg import cx_mm
 
 
 class QPResult(NamedTuple):
@@ -164,7 +165,11 @@ def quad_program(
 
     Uvec = res.x
     U_opt = Uvec.reshape(H, dim_u).T
-    X_opt = (w + jnp.einsum("txhd,hd->tx", M, Uvec.reshape(H, dim_u).astype(M.dtype))).T
+    # real U against complex M through cx_mm: no real->complex convert feeds
+    # the dot (unimplemented batched lowering on the axon backend)
+    Hp1 = w.shape[0]
+    dim_x = w.shape[1]
+    X_opt = (w + cx_mm(M.reshape(Hp1 * dim_x, H * dim_u), Uvec).reshape(Hp1, dim_x)).T
     obj = objective_value(X_opt, U_opt, X_bm, U_bm, Q_s, R_s)
     return QPResult(X=X_opt, U=U_opt, obj=obj, iters=res.iters, converged=res.converged)
 

@@ -43,6 +43,28 @@ def real_to_complex_op(P):
     return P[: row // 2, : col // 2] + 1j * P[row // 2 :, : col // 2]
 
 
+def cx_mm(a, b):
+    """Matmul that never feeds a real->complex CAST into the dot.
+
+    Mixed real x complex matmuls are computed as two real-x-real (or
+    complex-part) matmuls joined with lax.complex. On the axon TPU backend a
+    batched dot whose operand is a convert-from-real raises UNIMPLEMENTED
+    (measured, round 2 probes); mathematically this form is identical and
+    costs the same FLOPs (the cast form secretly doubles them anyway).
+    """
+    import jax
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    a_cx = jnp.issubdtype(a.dtype, jnp.complexfloating)
+    b_cx = jnp.issubdtype(b.dtype, jnp.complexfloating)
+    if a_cx and not b_cx:
+        return jax.lax.complex(jnp.real(a) @ b, jnp.imag(a) @ b)
+    if b_cx and not a_cx:
+        return jax.lax.complex(a @ jnp.real(b), a @ jnp.imag(b))
+    return a @ b
+
+
 def cx_solve(A, B):
     """Batched linear solve; complex systems are solved through the real
     block embedding [[Re, -Im], [Im, Re]] so only a *real* LU runs on the

@@ -329,3 +329,39 @@ def test_hostloop_driver_matches_scan_driver():
     np.testing.assert_allclose(out["final_x"], np.asarray(res_scan.xs[:, :, -1]), atol=1e-8)
     np.testing.assert_array_equal(out["exit_code"], np.asarray(res_scan.exit_code))
     assert np.all(out["final_x"][:, 3].real > 0.99)
+
+
+def test_real_embedded_mode_matches_complex():
+    """The real-embedded transform (mpc/embedded.py) must reproduce the
+    complex pipeline's closed loop exactly (noiseless): same pulses, same
+    final state - the embedding is an algebra isomorphism, not an
+    approximation. Runs through the unmodified driver via its hooks."""
+    import dataclasses
+    from mpc4quantum_tpu.mpc.embedded import embed_problem, unembed_vec
+    from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+    from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    cfg = dataclasses.replace(config, qp_backend="ns", sqp_unroll=8,
+                              qp_params=BoxQPParams(max_iter=60, n_rounds=2))
+
+    res_c = m4q.mpc(jnp.asarray(rho0), model, plant, X_targ, U_targ, Q, R, Qf,
+                    cfg, sat=sat, du=du, key=jax.random.PRNGKey(1),
+                    plant_step_fn=quantum_step_taylor)
+
+    prob, observe_emb = embed_problem(rho0, np.asarray(model.A), np.asarray(X_targ),
+                                      np.asarray(Q), np.asarray(Qf), dim_x=4)
+    model_e = dmdc_from_operator(jnp.asarray(prob.model_A), 8, 8,
+                                 prob.model_A.shape[1] - 8)
+    res_e = m4q.mpc(jnp.asarray(prob.x0), model_e, plant,
+                    jnp.asarray(prob.X_targ), U_targ,
+                    jnp.asarray(prob.Q), R, jnp.asarray(prob.Qf),
+                    cfg, sat=sat, du=du, key=jax.random.PRNGKey(1),
+                    plant_step_fn=prob.plant_step_fn, lift_fn=prob.lift_fn,
+                    proj_fn=prob.proj_fn, observe_fn=observe_emb)
+    assert int(res_e.exit_code) == 0
+    np.testing.assert_allclose(np.asarray(res_e.us), np.asarray(res_c.us),
+                               atol=1e-6)
+    xf_e = np.asarray(unembed_vec(res_e.xs[:, -1]))
+    np.testing.assert_allclose(xf_e, np.asarray(res_c.xs[:, -1]), atol=1e-8)
+    assert float(xf_e[3].real) > 0.99
