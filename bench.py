@@ -241,11 +241,17 @@ def main():
         from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
 
         # measured iteration budget (round 2): fixed 2x60 ADMM + 8 warm SQP
-        # reproduces the adaptive path to ~3e-3*sat pulses, same fidelity
+        # reproduces the adaptive path to ~3e-3*sat pulses, same fidelity.
+        # qp_impl="pallas" solves the whole fleet's QPs in one fused
+        # lane-batched kernel call per SQP iteration (measured on-chip:
+        # 2924 vs 2343 rollouts/s, same fidelity/convergence); on failure the
+        # exception path retries with the XLA solver before falling to CPU.
+        qp_impl = os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
+        plant_impl = os.environ.get("BENCH_PLANT_IMPL", "xla")
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
                             qp_backend="ns", qp_params=BoxQPParams(max_iter=60, n_rounds=2))
         runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
-                             warm_sqp_iters=8)
+                             warm_sqp_iters=8, qp_impl=qp_impl, plant_impl=plant_impl)
 
         def run_once():
             return runner.run(rho0, model, plants, X_targ, U_targ, Q, R, Q, keys,
@@ -306,6 +312,8 @@ def main():
         "batch": batch,
         "device": str(device),
         "engine_path": path,
+        "qp_impl": (os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
+                    if path == "hostloop" else "xla"),
         "fidelity_mean": round(fid_mean, 5),
         "completed_frac": completed,
         "baseline_cpu_s_per_rollout": round(cpu_s, 3),
@@ -344,7 +352,14 @@ if __name__ == "__main__":
         if os.environ.get("BENCH_DEVICE") == "cpu" or os.environ.get("BENCH_NO_FALLBACK"):
             raise
         traceback.print_exc(file=sys.stderr)
-        print(f"[bench] TPU path failed ({type(e).__name__}); re-running on CPU",
-              file=sys.stderr, flush=True)
-        env = dict(os.environ, BENCH_DEVICE="cpu")
+        if os.environ.get("BENCH_QP_IMPL", "pallas") == "pallas":
+            # staged fallback: first retry on the TPU with the XLA QP solver
+            # (the round-1-proven path), only then fall back to CPU
+            print(f"[bench] TPU pallas path failed ({type(e).__name__}); "
+                  "retrying with BENCH_QP_IMPL=xla", file=sys.stderr, flush=True)
+            env = dict(os.environ, BENCH_QP_IMPL="xla")
+        else:
+            print(f"[bench] TPU path failed ({type(e).__name__}); re-running on CPU",
+                  file=sys.stderr, flush=True)
+            env = dict(os.environ, BENCH_DEVICE="cpu")
         os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)

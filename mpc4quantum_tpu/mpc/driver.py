@@ -133,6 +133,31 @@ def _line_search_alpha(Q_s, R_s, X_ref, U_ref, X_guess, U_guess, X_opt, U_opt, s
     return alpha, new_step < step_tol
 
 
+def sqp_update_from_qp(s, res: QPResult, X_ref, U_ref, Q_s, R_s,
+                       single_shot, step_tol):
+    """Apply one QP result to the SQP state (the tail of the IQP body):
+    failure codes, line search, masked guess blend (reference
+    mpc.py:193-229). Shared by the in-graph SQP loop and fleet-batched QP
+    backends (e.g. the Pallas kernel path in mpc/hostloop.py)."""
+    (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code) = s
+    qp_fail = ~res.converged
+    obj_inf = ~jnp.isfinite(res.obj)
+    new_code = jnp.where(qp_fail, 2, jnp.where(obj_inf, 3, 0)).astype(jnp.int32)
+
+    alpha_ls, small = _line_search_alpha(
+        Q_s, R_s, X_ref, U_ref, Xg, Ug, res.X, res.U, step_tol
+    )
+    alpha = jnp.where(single_shot, 1.0, alpha_ls)
+    iqp_done = jnp.logical_or(single_shot, small)
+    iqp_done = jnp.logical_or(iqp_done, new_code > 0)
+
+    # on QP failure the reference breaks BEFORE updating the guess
+    upd = (new_code == 0).astype(Xg.real.dtype)
+    Xg_new = Xg + upd * alpha * (res.X - Xg)
+    Ug_new = Ug + upd * alpha * (res.U - Ug)
+    return (Xg_new, Ug_new, res.X, res.U, res.obj, n_iter + 1, iqp_done, new_code)
+
+
 def make_mpc_step(
     config: MPCConfig,
     Q_s,
@@ -229,22 +254,8 @@ def make_mpc_step(
                     u_prev=u_prev, sat=sat, du=du, U_warm=Ug, params=config.qp_params,
                     backend=config.qp_backend,
                 )
-            qp_fail = ~res.converged
-            obj_inf = ~jnp.isfinite(res.obj)
-            new_code = jnp.where(qp_fail, 2, jnp.where(obj_inf, 3, 0)).astype(jnp.int32)
-
-            alpha_ls, small = _line_search_alpha(
-                Q_s, R_s, X_ref, U_ref, Xg, Ug, res.X, res.U, config.step_tol
-            )
-            alpha = jnp.where(single_shot, 1.0, alpha_ls)
-            iqp_done = jnp.logical_or(single_shot, small)
-            iqp_done = jnp.logical_or(iqp_done, new_code > 0)
-
-            # on QP failure the reference breaks BEFORE updating the guess
-            upd = (new_code == 0).astype(Xg.real.dtype)
-            Xg_new = Xg + upd * alpha * (res.X - Xg)
-            Ug_new = Ug + upd * alpha * (res.U - Ug)
-            return (Xg_new, Ug_new, res.X, res.U, res.obj, n_iter + 1, iqp_done, new_code)
+            return sqp_update_from_qp(s, res, X_ref, U_ref, Q_s, R_s,
+                                      single_shot, config.step_tol)
 
         done_prev = s[6]
         s_new = iqp_body(s)
@@ -350,10 +361,12 @@ def make_mpc_step(
         return advance(carry, s, step, plant, model_state, X_targ, U_targ)
 
     # expose the pieces for host-driven fine-grained loops (mpc/hostloop.py):
-    # one SQP iteration and the advance are each small jittable programs
+    # one SQP iteration and the advance are each small jittable programs;
+    # context provides the per-step quantities for fleet-batched QP backends
     step_fn.sqp_init = sqp_init
     step_fn.sqp_iter = sqp_iter
     step_fn.advance = advance
+    step_fn.context = _context
     return step_fn
 
 

@@ -26,7 +26,7 @@ the TPU backend executes and the MXU-shaped form for scenario fleets.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -35,6 +35,23 @@ import jax.numpy as jnp
 from .driver import MPCConfig, make_mpc_step
 from ..plants.quantum import quantum_step, lift_state, proj_state
 from ..utils.cxio import split_cx, CxPair, merge_cx
+
+
+class PropagatedPlant(NamedTuple):
+    """Plant wrapper carrying a precomputed one-step propagator U.
+
+    Used by the fleet-batched Pallas plant path (plant_impl="pallas"): the
+    whole fleet's U_b = expm(-i dt H_b(u_b)) are computed by ONE kernel call,
+    then the per-lane advance applies rho' = U rho U^H through this wrapper
+    (exact ZOH semantics, identical to plants/quantum.quantum_step)."""
+
+    base: Any          # the underlying plant pytree (QuantumPlant)
+    U: jnp.ndarray     # (d, d) per-lane propagator (leading batch axis under vmap)
+
+    @property
+    def sigma(self):
+        # the advance's default observation model reads plant.sigma
+        return self.base.sigma
 
 
 class HostLoopMPC:
@@ -52,21 +69,67 @@ class HostLoopMPC:
                  model_update_fn: Optional[Callable] = None,
                  exit_condition: Optional[Callable] = None,
                  observe_fn: Optional[Callable] = None,
-                 warm_sqp_iters: int = 12):
+                 warm_sqp_iters: int = 12,
+                 granularity: str = "sqp",
+                 qp_impl: str = "xla",
+                 plant_impl: str = "xla",
+                 pallas_interpret: bool = False,
+                 pallas_max_squarings: int = 12):
+        """:param granularity: "sqp" = four small programs (one per SQP
+        iteration + advance; fastest compile, most dispatches); "step" = two
+        fused whole-step programs (warm with `warm_sqp_iters` unrolled SQP
+        iterations, steady single-shot; ~4x fewer dispatches per rollout at
+        the cost of a long one-time compile of the warm program).
+        :param qp_impl: "xla" = the QP solves inside the lane vmap
+        (config.qp_backend selects chol/ns); "pallas" = per-lane assembly is
+        vmapped but the whole fleet's box QPs are solved by ONE call to the
+        lane-batched Pallas ADMM kernel (ops/pallas_qp.py) per SQP iteration
+        - the fused hot-kernel path ("sqp" granularity only).
+        :param plant_impl: "xla" = per-lane `plant_step_fn` inside the
+        advance vmap; "pallas" = the fleet's one-step propagators
+        U_b = expm(-i dt H_b(u_b)) computed by ONE call to the lane-batched
+        Pallas expm kernel (ops/pallas_expm.py), applied per lane as
+        rho' = U rho U^H - requires a QuantumPlant-shaped plant (H0/H1s)
+        and replaces `plant_step_fn` with the exact ZOH step."""
         self.config = config
         self.sat = sat
         self.du = du
         self.warm_sqp_iters = warm_sqp_iters
+        self.granularity = granularity
+        self.qp_impl = qp_impl
+        self.plant_impl = plant_impl
+        self.pallas_interpret = pallas_interpret
+        self.pallas_max_squarings = pallas_max_squarings
         mk = lambda cfg: lambda Q_s, R_s: make_mpc_step(
             cfg, Q_s, R_s, sat, du,
             plant_step_fn=plant_step_fn, lift_fn=lift_fn, proj_fn=proj_fn,
             model_update_fn=model_update_fn, exit_condition=exit_condition,
             observe_fn=observe_fn,
         )
+        if plant_impl == "pallas":
+            # the same step pieces, but plant/lift/proj/observe unwrap a
+            # PropagatedPlant whose U was produced by the fleet-level kernel
+            def prop_step(p, x, u, dt):
+                d = p.U.shape[-1]
+                rho = x.reshape(d, d).astype(p.U.dtype)
+                return (p.U @ rho @ p.U.conj().T).reshape(-1)
+
+            prop_lift = lambda p, x: lift_fn(p.base, x)
+            prop_proj = lambda p, z: proj_fn(p.base, z)
+            prop_obs = (None if observe_fn is None
+                        else (lambda p, x, key: observe_fn(p.base, x, key)))
+            self._mk_prop = lambda cfg: lambda Q_s, R_s: make_mpc_step(
+                cfg, Q_s, R_s, sat, du,
+                plant_step_fn=prop_step, lift_fn=prop_lift, proj_fn=prop_proj,
+                model_update_fn=model_update_fn, exit_condition=exit_condition,
+                observe_fn=prop_obs,
+            )
         # two SQP-iteration programs: line-searched (warm phase) and
         # single-shot alpha=1 (steady phase, reference warm-start collapse)
-        self._mk_warm = mk(dataclasses.replace(config, single_shot=False))
-        self._mk_steady = mk(dataclasses.replace(config, single_shot=True))
+        self._mk_warm = mk(dataclasses.replace(config, single_shot=False,
+                                               sqp_unroll=warm_sqp_iters))
+        self._mk_steady = mk(dataclasses.replace(config, single_shot=True,
+                                                 sqp_unroll=1))
         self._programs = self._build_programs()
 
     def _build_programs(self):
@@ -136,12 +199,162 @@ class HostLoopMPC:
             carry_new, model_new, outs = jax.vmap(one, in_axes=(0, 0, 0, 0))(carry, s, plants, model)
             return resplit((carry_new, model_new, outs))
 
-        return {
+        def adv_prog_pallas(carry_s, s_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
+            """Advance with the fleet's plant propagators computed by ONE
+            Pallas expm kernel call (ops/pallas_expm.py): assemble the B
+            generators -i dt (H0_b + sum_i u_bi H1_bi), batch-expm them on
+            lanes, then run the per-lane advance through PropagatedPlant."""
+            from ..ops.pallas_expm import expm_pallas
+
+            carry = merge_cx(carry_s)
+            s = merge_cx(s_s)
+            plants = merge_cx(plants_s)
+            model = merge_cx(model_s)
+            Xt = merge_cx(Xt_s)
+            Q = merge_cx(Q_s_)
+            Qf = merge_cx(Qf_s_)
+            Q_s, R_s = costs(Q, R_, Qf)
+            step_fn = self._mk_prop(
+                dataclasses.replace(self.config, single_shot=True, sqp_unroll=1)
+            )(Q_s, R_s)
+
+            # the control the advance will apply: U_opt[:, 0] per lane
+            u_apply = s[3][:, :, 0]                       # (B, dim_u)
+            Hs = plants.H0 + jnp.sum(
+                u_apply[:, :, None, None].astype(plants.H1s.real.dtype)
+                * plants.H1s, axis=1)                     # (B, d, d)
+            Us = expm_pallas((-1j * float(self.config.dt)) * Hs,
+                             max_squarings=self.pallas_max_squarings,
+                             interpret=self.pallas_interpret)
+            wrapped = PropagatedPlant(base=plants, U=Us)
+
+            def one(c, si, p, m):
+                return step_fn.advance(c, si, step, p, m,
+                                       jnp.asarray(Xt, Q.dtype), jnp.asarray(Ut))
+
+            carry_new, model_new, outs = jax.vmap(one, in_axes=(0, 0, 0, 0))(
+                carry, s, wrapped, model)
+            return resplit((carry_new, model_new, outs))
+
+        def make_step(mk):
+            """Fused whole-step program: SQP loop + advance in one dispatch."""
+            def prog(carry_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
+                carry = merge_cx(carry_s)
+                plants = merge_cx(plants_s)
+                model = merge_cx(model_s)
+                Xt = merge_cx(Xt_s)
+                Q = merge_cx(Q_s_)
+                Qf = merge_cx(Qf_s_)
+                Q_s, R_s = costs(Q, R_, Qf)
+                step_fn = mk(Q_s, R_s)
+
+                def one(c, p, m):
+                    return step_fn(c, step, p, m, jnp.asarray(Xt, Q.dtype),
+                                   jnp.asarray(Ut))
+
+                carry_new, model_new, outs = jax.vmap(one, in_axes=(0, 0, 0))(
+                    carry, plants, model)
+                return resplit((carry_new, model_new, outs))
+            return jax.jit(prog)
+
+        def make_iter_pallas(mk, single_shot: bool):
+            """SQP iteration with the fleet's QPs solved by ONE Pallas kernel
+            call: vmapped per-lane linearize+condense+assemble, one
+            boxqp_pallas dispatch, vmapped line-search/blend tail. The kernel
+            runs the same warm-started, rho-rebalanced fixed-iteration ADMM
+            as solve_boxqp_fixed and its acceptance rule, so qp_impl="pallas"
+            and qp_backend="ns" are interchangeable."""
+            from ..ops.pallas_qp import boxqp_pallas, boxqp_accept
+            from ..ops.bilinear import model_along_traj
+            from ..solvers.condense import qp_data, qp_finish, QPResult
+            from .driver import sqp_update_from_qp
+
+            cfgH = self.config.horizon
+            qp = self.config.qp_params
+            # python scalars extracted at build time: struct-dataclass leaves
+            # closed over inside jit become tracers, which pallas kernels
+            # must receive as static parameters
+            qp_iters = int(qp.max_iter)
+            qp_rounds = int(qp.n_rounds)
+            qp_rho0 = float(qp.rho0)
+            qp_sigma = float(qp.sigma)
+            qp_alpha = float(qp.alpha)
+            qp_eps_abs = float(qp.eps_abs)
+            qp_eps_rel = float(qp.eps_rel)
+            qp_acc_abs = float(qp.accept_abs)
+            qp_acc_rel = float(qp.accept_rel)
+
+            def prog(carry_s, s_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
+                carry = merge_cx(carry_s)
+                s = merge_cx(s_s)
+                plants = merge_cx(plants_s)
+                model = merge_cx(model_s)
+                Xt = merge_cx(Xt_s)
+                Q = merge_cx(Q_s_)
+                Qf = merge_cx(Qf_s_)
+                Q_s, R_s = costs(Q, R_, Qf)
+                step_fn = mk(Q_s, R_s)
+                Xtc = jnp.asarray(Xt, Q.dtype)
+                Utc = jnp.asarray(Ut)
+
+                def pre(c, si, p, m):
+                    from ..ops.bilinear import BilinearModel
+                    X_ref, U_ref, bm, lift_x, u_prev, _ = step_fn.context(
+                        c, step, p, m, Xtc, Utc)
+                    Xg, Ug = si[0], si[1]
+                    A_s, B_s, D_s = model_along_traj(bm, Xg[:, :cfgH], Ug)
+                    P, q, lb, ub, w, M = qp_data(
+                        lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
+                        u_prev=u_prev, sat=self.sat, du=self.du, unroll=True)
+                    return P, q, lb, ub, w, M, X_ref, U_ref
+
+                P, q, lb, ub, w, M, X_ref, U_ref = jax.vmap(pre)(carry, s, plants, model)
+                # warm start from the current guess, time-major like condense
+                Ug = s[1]
+                U_warm = jnp.swapaxes(Ug, 1, 2).reshape(Ug.shape[0], -1)
+
+                # fleet-batched kernel solve (the hot op)
+                Uvec, aux = boxqp_pallas(P, q, lb, ub, x0=U_warm,
+                                         iters=qp_iters, rounds=qp_rounds,
+                                         rho_scale=qp_rho0, sigma=qp_sigma,
+                                         alpha=qp_alpha,
+                                         interpret=self.pallas_interpret,
+                                         return_aux=True)
+                Uvec = Uvec.astype(P.dtype)
+                conv = boxqp_accept(aux, qp_eps_abs, qp_eps_rel,
+                                    qp_acc_abs, qp_acc_rel)
+
+                def post(si, Uv, ok, wi, Mi, X_ref_i, U_ref_i):
+                    X_opt, U_opt, obj = qp_finish(wi, Mi, Uv, X_ref_i, U_ref_i, Q_s, R_s)
+                    res = QPResult(X=X_opt, U=U_opt, obj=obj,
+                                   iters=jnp.asarray(qp_iters * qp_rounds),
+                                   converged=ok)
+                    s_new = sqp_update_from_qp(si, res, X_ref_i, U_ref_i, Q_s, R_s,
+                                               jnp.asarray(single_shot),
+                                               self.config.step_tol)
+                    done_prev = si[6]
+                    return tuple(jnp.where(done_prev, a, b) for a, b in zip(si, s_new))
+
+                s_new = jax.vmap(post)(s, Uvec, conv, w, M, X_ref, U_ref)
+                return resplit(s_new)
+
+            return jax.jit(prog)
+
+        progs = {
             "init": jax.jit(init_prog),
-            "iter_warm": make_iter(self._mk_warm),
-            "iter_steady": make_iter(self._mk_steady),
-            "advance": jax.jit(adv_prog),
+            "advance": jax.jit(adv_prog_pallas if self.plant_impl == "pallas"
+                               else adv_prog),
         }
+        if self.qp_impl == "pallas":
+            progs["iter_warm"] = make_iter_pallas(self._mk_warm, single_shot=False)
+            progs["iter_steady"] = make_iter_pallas(self._mk_steady, single_shot=True)
+        else:
+            progs["iter_warm"] = make_iter(self._mk_warm)
+            progs["iter_steady"] = make_iter(self._mk_steady)
+        if self.granularity == "step":
+            progs["step_warm"] = make_step(self._mk_warm)
+            progs["step_steady"] = make_step(self._mk_steady)
+        return progs
 
     def run(self, x0, model_state, plants, X_targ, U_targ, Q, R, Qf, keys,
             record: bool = True):
@@ -187,14 +400,19 @@ class HostLoopMPC:
         per_step = []
         for step in range(cfg.n_steps):
             warm = (step <= 1) if cfg.warm_start else True
-            it_prog = progs["iter_warm"] if warm else progs["iter_steady"]
-            n_it = self.warm_sqp_iters if warm else 1
             step_arr = np.asarray(step, np.int32)
-            s = progs["init"](carry)
-            for _ in range(n_it):
-                s = it_prog(carry, s, step_arr, args[0], model_s, *args[2:])
-            carry, model_s, outs = progs["advance"](carry, s, step_arr, args[0],
-                                                    model_s, *args[2:])
+            if self.granularity == "step":
+                prog = progs["step_warm"] if warm else progs["step_steady"]
+                carry, model_s, outs = prog(carry, step_arr, args[0], model_s,
+                                            *args[2:])
+            else:
+                it_prog = progs["iter_warm"] if warm else progs["iter_steady"]
+                n_it = self.warm_sqp_iters if warm else 1
+                s = progs["init"](carry)
+                for _ in range(n_it):
+                    s = it_prog(carry, s, step_arr, args[0], model_s, *args[2:])
+                carry, model_s, outs = progs["advance"](carry, s, step_arr, args[0],
+                                                        model_s, *args[2:])
             if record:
                 per_step.append(outs)
 

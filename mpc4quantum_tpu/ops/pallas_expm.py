@@ -19,9 +19,10 @@ expand to 4 real FMAs. This also sidesteps backends with incomplete complex
 lowering.
 
 Layout contract: inputs (B, d, d) are transposed to (d*d, B') with B' padded
-to the lane multiple; the kernel sees (d*d, TB) tiles - aligned to the
-(8/16, 128) f32 tiling for d >= 3 - and indexes matrix element (i, k) as
-row i*d + k, a static slice.
+to the sublane*lane multiple, then packed so each matrix element owns a
+(sublanes, W) block - batch fills BOTH tile dimensions of the (8, 128) f32
+tile, not just lanes. The kernel indexes matrix element (i, k) as the row
+block [i*d*pack + k*pack, ...), a static slice.
 """
 
 from __future__ import annotations
@@ -60,10 +61,14 @@ def _matmul_rows(a_r, a_i, b_r, b_i, d):
     return c_r, c_i
 
 
-def _expm_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, d: int, max_squarings: int):
-    TB = ar_ref.shape[1]
-    rows_r = [ar_ref[i : i + 1, :] for i in range(d * d)]
-    rows_i = [ai_ref[i : i + 1, :] for i in range(d * d)]
+def _expm_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, d: int, max_squarings: int,
+                 pack: int):
+    # batch packed over (pack sublanes x lanes): matrix element row i is the
+    # (pack, TB) block at physical rows [i*pack, (i+1)*pack) - full (8, 128)
+    # f32 VPU tile utilization (see ops/pallas_qp.py)
+    row = lambda ref, i: ref[i * pack : (i + 1) * pack, :]
+    rows_r = [row(ar_ref, i) for i in range(d * d)]
+    rows_i = [row(ai_ref, i) for i in range(d * d)]
 
     # 1-norm per batch element: max_j sum_i |A[i,j]|
     col_sums = []
@@ -105,53 +110,62 @@ def _expm_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, d: int, max_squarings: int):
         p_i = [jnp.where(keep, sq_i[n], p_i[n]) for n in range(d * d)]
 
     for n in range(d * d):
-        or_ref[n : n + 1, :] = p_r[n]
-        oi_ref[n : n + 1, :] = p_i[n]
+        or_ref[n * pack : (n + 1) * pack, :] = p_r[n]
+        oi_ref[n * pack : (n + 1) * pack, :] = p_i[n]
 
 
-@functools.partial(jax.jit, static_argnames=("max_squarings", "tile_b", "interpret"))
-def expm_pallas(A, max_squarings: int = 12, tile_b: int = 512, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("max_squarings", "tile_b", "interpret",
+                                             "sublanes"))
+def expm_pallas(A, max_squarings: int = 12, tile_b: int = 512, interpret: bool = False,
+                sublanes: int = 8):
     """Batched expm via the fused Pallas kernel.
 
     :param A: (B, d, d) complex (or real) matrices; d <= 8 recommended
         (the kernel fully unrolls d^3 - compile time grows accordingly).
     :param max_squarings: static bound on the squaring count.
+    :param sublanes: batch-packing factor across sublanes (8 = the f32 tile
+        height, full VPU utilization; 1 = lanes-only layout).
     :return: (B, d, d) expm(A), same dtype as A.
     """
     A = jnp.asarray(A)
     B, d, _ = A.shape
     is_cx = jnp.issubdtype(A.dtype, jnp.complexfloating)
     rdtype = jnp.real(A).dtype
+    S = sublanes
 
-    tb = min(tile_b, max(_LANE, _LANE * ((B + _LANE - 1) // _LANE)))
-    Bp = ((B + tb - 1) // tb) * tb
+    W_min = _LANE * ((B + S * _LANE - 1) // (S * _LANE))
+    tb = min(tile_b, W_min)
+    W = ((W_min + tb - 1) // tb) * tb
+    Bp = S * W
 
-    # (B, d, d) -> (d*d, Bp), batch on lanes
+    # (B, d, d) -> (d*d*S, W): batch element b at logical row i, sublane
+    # b // W, lane b % W
     flat = A.reshape(B, d * d).T
-    ar = jnp.zeros((d * d, Bp), rdtype).at[:, :B].set(jnp.real(flat))
-    ai = jnp.zeros((d * d, Bp), rdtype).at[:, :B].set(jnp.imag(flat))
+    ar = jnp.zeros((d * d, Bp), rdtype).at[:, :B].set(jnp.real(flat)).reshape(d * d * S, W)
+    ai = jnp.zeros((d * d, Bp), rdtype).at[:, :B].set(jnp.imag(flat)).reshape(d * d * S, W)
 
-    kernel = functools.partial(_expm_kernel, d=d, max_squarings=max_squarings)
-    grid = (Bp // tb,)
+    kernel = functools.partial(_expm_kernel, d=d, max_squarings=max_squarings,
+                               pack=S)
+    grid = (W // tb,)
     out_r, out_i = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((d * d, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((d * d, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d * d, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d * d * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((d * d, Bp), rdtype),
-            jax.ShapeDtypeStruct((d * d, Bp), rdtype),
+            jax.ShapeDtypeStruct((d * d * S, W), rdtype),
+            jax.ShapeDtypeStruct((d * d * S, W), rdtype),
         ],
         interpret=interpret,
     )(ar, ai)
 
-    out = out_r[:, :B].T.reshape(B, d, d)
+    out = out_r.reshape(d * d, Bp)[:, :B].T.reshape(B, d, d)
     if is_cx:
-        out = jax.lax.complex(out, out_i[:, :B].T.reshape(B, d, d)).astype(A.dtype)
+        out = jax.lax.complex(out, out_i.reshape(d * d, Bp)[:, :B].T.reshape(B, d, d)).astype(A.dtype)
     return out.astype(A.dtype)

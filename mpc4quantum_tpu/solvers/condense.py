@@ -120,6 +120,40 @@ def _box_bounds(dim_u, H, sat, u_prev, du, dtype):
     return lb, ub
 
 
+def qp_data(x_init, X_bm, U_bm, Q_s, R_s, A_s, B_s, Delta_s,
+            u_prev=None, sat=None, du=None, unroll: bool = False):
+    """Condense + assemble the box-QP data without solving.
+
+    Split out of `quad_program` so a fleet driver can vmap the (per-lane)
+    assembly and hand the whole batch to one fused solver call (e.g. the
+    lane-batched Pallas ADMM kernel, ops/pallas_qp.py).
+
+    :return: (P, q, lb, ub, w, M) - the real quadratic, the box, and the
+        condensed affine state map for reconstructing X from U.
+    """
+    dim_u = U_bm.shape[0]
+    H = U_bm.shape[1]
+    w, M = condense_horizon(A_s, B_s, Delta_s, x_init, unroll=unroll)
+    P, q, _ = _assemble_cost(w, M, X_bm, U_bm, Q_s, R_s)
+    lb, ub = _box_bounds(dim_u, H, sat if sat is not None else jnp.inf, u_prev, du, P.dtype)
+    return P, q, lb, ub, w, M
+
+
+def qp_finish(w, M, Uvec, X_bm, U_bm, Q_s, R_s) -> tuple:
+    """Exact rollout + objective for a solved control vector.
+
+    :param Uvec: (H*dim_u,) real time-major controls.
+    :return: (X_opt (dim_x, H+1), U_opt (dim_u, H), obj).
+    """
+    H = U_bm.shape[1]
+    dim_u = U_bm.shape[0]
+    Hp1, dim_x = w.shape
+    U_opt = Uvec.reshape(H, dim_u).T
+    X_opt = (w + cx_mm(M.reshape(Hp1 * dim_x, H * dim_u), Uvec).reshape(Hp1, dim_x)).T
+    obj = objective_value(X_opt, U_opt, X_bm, U_bm, Q_s, R_s)
+    return X_opt, U_opt, obj
+
+
 def quad_program(
     x_init,
     X_bm,
@@ -151,26 +185,15 @@ def quad_program(
         (fixed-iteration ADMM with a Newton-Schulz inverse: matmul-only and
         loop-free - the batched TPU hot path; condensing is also unrolled).
     """
-    H = U_bm.shape[1]
-    dim_u = U_bm.shape[0]
-    w, M = condense_horizon(A_s, B_s, Delta_s, x_init, unroll=(backend == "ns"))
-    P, q, _ = _assemble_cost(w, M, X_bm, U_bm, Q_s, R_s)
-    rdtype = P.dtype
-    lb, ub = _box_bounds(dim_u, H, sat if sat is not None else jnp.inf, u_prev, du, rdtype)
-    x0 = None if U_warm is None else U_warm.T.reshape(-1).astype(rdtype)
+    P, q, lb, ub, w, M = qp_data(x_init, X_bm, U_bm, Q_s, R_s, A_s, B_s, Delta_s,
+                                 u_prev=u_prev, sat=sat, du=du,
+                                 unroll=(backend == "ns"))
+    x0 = None if U_warm is None else U_warm.T.reshape(-1).astype(P.dtype)
     if backend == "ns":
         res = solve_boxqp_fixed(P, q, lb, ub, x0=x0, params=params)
     else:
         res = solve_boxqp(P, q, lb, ub, x0=x0, params=params)
-
-    Uvec = res.x
-    U_opt = Uvec.reshape(H, dim_u).T
-    # real U against complex M through cx_mm: no real->complex convert feeds
-    # the dot (unimplemented batched lowering on the axon backend)
-    Hp1 = w.shape[0]
-    dim_x = w.shape[1]
-    X_opt = (w + cx_mm(M.reshape(Hp1 * dim_x, H * dim_u), Uvec).reshape(Hp1, dim_x)).T
-    obj = objective_value(X_opt, U_opt, X_bm, U_bm, Q_s, R_s)
+    X_opt, U_opt, obj = qp_finish(w, M, res.x, X_bm, U_bm, Q_s, R_s)
     return QPResult(X=X_opt, U=U_opt, obj=obj, iters=res.iters, converged=res.converged)
 
 

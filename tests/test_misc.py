@@ -120,3 +120,24 @@ def test_not_state_in_f32_tpu_native_precision():
         assert p1 > 0.99, f"f32 path degraded: P1={p1}"
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_plot_operator_and_rollout(tmp_path):
+    """Diagnostic plotting (reference plot_operator counterpart,
+    test_mpc4quantum.py:25-41): figures build and PNGs land on disk."""
+    from mpc4quantum_tpu.utils.plotting import plot_operator, plot_rollout
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    op_png = tmp_path / "op.png"
+    fig, axes = plot_operator(np.asarray(model.A), 4, path=str(op_png))
+    assert op_png.exists() and op_png.stat().st_size > 0
+    # one quick closed loop for rollout panels
+    res = m4q.mpc(jnp.asarray(rho0), model, plant, X_targ, U_targ, Q, R, Qf,
+                  config, sat=sat, du=du, key=jax.random.PRNGKey(1))
+    targ = np.zeros(4, complex)
+    targ[3] = 1.0
+    roll_png = tmp_path / "roll.png"
+    ts = np.arange(config.n_steps) * config.dt
+    plot_rollout(ts, np.asarray(res.us), xs=np.asarray(res.xs), targ=targ,
+                 sat=sat, path=str(roll_png))
+    assert roll_png.exists() and roll_png.stat().st_size > 0

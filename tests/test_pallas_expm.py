@@ -29,3 +29,46 @@ def test_pallas_expm_real_input():
                                  tile_b=128, interpret=True))
     for i in range(2):
         np.testing.assert_allclose(out[i], scipy.linalg.expm(A[i]), atol=1e-5)
+
+
+slow = __import__("pytest").mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="interpret-mode e2e is slow; set RUN_SLOW=1")
+
+
+@slow
+def test_hostloop_pallas_plant_impl_plumbing():
+    """plant_impl='pallas': the fleet's one-step plant propagators computed
+    by one expm kernel call per advance, end-to-end through the host-loop
+    driver (interpret mode on CPU). The kernel step is the same exact ZOH
+    propagation as quantum_step, so the rollout must match plant_impl='xla'
+    - controls, states, and exit codes."""
+    import sys
+    import pathlib
+    import dataclasses
+
+    import jax
+    import mpc4quantum_tpu as m4q
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+    from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+    from mpc4quantum_tpu.parallel.fleet import make_scenario_batch
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from test_mpc_e2e import make_not_state_problem
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), plant, 2, detune_scale=0.01)
+    # small shapes: interpret-mode compile of unrolled kernels explodes
+    # superlinearly (see test_pallas_qp.py); max_squarings=2 suffices at
+    # ||dt H|| < 1 and keeps the unrolled squaring chain short
+    cfg = dataclasses.replace(config, horizon=6, n_steps=2, qp_backend="ns")
+
+    mk = lambda plant_impl, interp: HostLoopMPC(
+        cfg, sat, du=du, plant_step_fn=quantum_step_taylor, warm_sqp_iters=2,
+        plant_impl=plant_impl, pallas_interpret=interp, pallas_max_squarings=2)
+    out_p = mk("pallas", True).run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys)
+    out_x = mk("xla", False).run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys)
+    np.testing.assert_array_equal(out_p["exit_code"], out_x["exit_code"])
+    np.testing.assert_allclose(out_p["us"], out_x["us"], atol=1e-4)
+    np.testing.assert_allclose(out_p["final_x"], out_x["final_x"], atol=1e-4)
+    assert np.max(np.abs(out_x["us"])) > 0.01  # non-vacuous

@@ -40,35 +40,52 @@ def scipy_ref(P, q, lb, ub):
 
 
 @slow
-def test_pallas_qp_matches_scipy_batch():
+def test_pallas_qp_matches_mirror_batch():
+    """Interpret-mode kernel == the plain-numpy algorithm mirror at a small
+    iteration budget (the mirror itself is checked against scipy optima at a
+    full budget in test_kernel_algorithm_numpy_mirror_matches_scipy - chained,
+    this gives kernel -> mirror -> scipy without compiling a 200-iteration
+    unrolled kernel in interpret mode, which takes tens of minutes)."""
     P, q, lb, ub = make_batch(4, 5, seed=0)
+    # interpret-mode compile time explodes superlinearly with the unrolled
+    # iteration count (measured: 4x2 ~ 6s, 10x2 > 10min) - keep budgets tiny;
+    # parity with the exact mirror is budget-independent
     x = np.asarray(boxqp_pallas(jnp.asarray(P), jnp.asarray(q), jnp.asarray(lb),
-                                jnp.asarray(ub), iters=200, tile_b=128, interpret=True))
-    x_ref = scipy_ref(P, q, lb, ub)
+                                jnp.asarray(ub), iters=4, rounds=2,
+                                tile_b=128, interpret=True))
     # feasibility
     assert np.all(x >= lb - 1e-5) and np.all(x <= ub + 1e-5)
-    # objective within tolerance of the reference optimum
     for b in range(4):
-        f = 0.5 * x[b] @ P[b] @ x[b] + q[b] @ x[b]
-        f_ref = 0.5 * x_ref[b] @ P[b] @ x_ref[b] + q[b] @ x_ref[b]
-        assert f <= f_ref + 1e-3 * (1 + abs(f_ref)), (b, f, f_ref)
-    np.testing.assert_allclose(x, x_ref, atol=5e-3)
+        ref = _admm_mirror(P[b], q[b], lb[b], ub[b], iters=4, rounds=2)
+        np.testing.assert_allclose(x[b], ref, atol=2e-5)
 
 
-def _admm_mirror(P, q, lb, ub, iters=200, rho_scale=0.1, sigma=1e-6, alpha=1.6):
+def _admm_mirror(P, q, lb, ub, x0=None, iters=100, rounds=2, rho_scale=0.1,
+                 sigma=1e-6, alpha=1.6):
     """Plain-numpy mirror of exactly the kernel's algorithm (unpivoted
-    Gauss-Jordan inverse + fixed-iteration relaxed ADMM)."""
+    Gauss-Jordan inverse + warm-started fixed-iteration relaxed ADMM with
+    rho rebalanced between rounds)."""
     n = P.shape[0]
-    rho = max(rho_scale * np.trace(P) / n, 1e-8)
-    Kinv = np.linalg.inv(P + (sigma + rho) * np.eye(n))
-    x = np.clip(np.zeros(n), lb, ub)
+    diag_scale = max(np.trace(P) / n, 1e-12)
+    rho = max(rho_scale * diag_scale, 1e-8)
+    x = np.clip(np.zeros(n) if x0 is None else x0, lb, ub)
     z = x.copy()
     y = np.zeros(n)
-    for _ in range(iters):
-        x = Kinv @ (sigma * x - q + rho * z - y)
-        z_arg = alpha * x + (1 - alpha) * z
-        z = np.clip(z_arg + y / rho, lb, ub)
-        y = y + rho * (z_arg - z)
+    for rnd in range(rounds):
+        Kinv = np.linalg.inv(P + (sigma + rho) * np.eye(n))
+        for _ in range(iters):
+            x = Kinv @ (sigma * x - q + rho * z - y)
+            z_arg = alpha * x + (1 - alpha) * z
+            z = np.clip(z_arg + y / rho, lb, ub)
+            y = y + rho * (z_arg - z)
+        if rnd + 1 < rounds:
+            prim = np.max(np.abs(x - z))
+            dual = np.max(np.abs(P @ x + q + y))
+            prim_s = prim / max(np.max(np.abs(x)), np.max(np.abs(z)), 1e-12)
+            dual_s = dual / max(np.max(np.abs(P @ x)), np.max(np.abs(q)),
+                                np.max(np.abs(y)), 1e-12)
+            ratio = np.sqrt(prim_s / max(dual_s, 1e-16))
+            rho = np.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale)
     return z
 
 
@@ -84,4 +101,72 @@ def test_kernel_algorithm_numpy_mirror_matches_scipy():
         np.testing.assert_allclose(x, ref, atol=2e-3)
 
 
+@slow
+def test_kernel_matches_solve_boxqp_fixed():
+    """The kernel is an exact algorithmic mirror of solvers/boxqp.py
+    solve_boxqp_fixed: same iterates, same residuals, same acceptance."""
+    import jax
+    from mpc4quantum_tpu.ops.pallas_qp import boxqp_accept
+    from mpc4quantum_tpu.solvers.boxqp import solve_boxqp_fixed, BoxQPParams
 
+    P, q, lb, ub = make_batch(4, 6, seed=1)
+    rng = np.random.default_rng(7)
+    x0 = rng.normal(size=q.shape).astype(np.float32) * 0.1
+
+    params = BoxQPParams(max_iter=4, n_rounds=2)
+    xk, aux = boxqp_pallas(P, q, lb, ub, x0=x0, iters=4, rounds=2,
+                           return_aux=True, interpret=True, tile_b=128)
+    conv = np.asarray(boxqp_accept(aux, params.eps_abs, params.eps_rel,
+                                   params.accept_abs, params.accept_rel))
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    ref = jax.vmap(lambda P, q, lb, ub, x0: solve_boxqp_fixed(
+        P, q, lb, ub, x0=x0, params=params))(
+        f32(P), f32(q), f32(lb), f32(ub), f32(x0))
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(ref.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aux.prim), np.asarray(ref.prim_res), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aux.dual), np.asarray(ref.dual_res), atol=2e-4)
+    np.testing.assert_array_equal(conv, np.asarray(ref.converged))
+
+
+@slow
+def test_hostloop_pallas_qp_impl_plumbing():
+    """qp_impl='pallas': the fleet's QPs solved by one kernel call per SQP
+    iteration, end-to-end through the host-loop driver (interpret mode on
+    CPU). The kernel mirrors solve_boxqp_fixed exactly, so the whole rollout
+    must match qp_impl='xla' + qp_backend='ns' at the same iteration budget -
+    controls AND exit codes. (On-chip validation at the full budget lives in
+    experiments/probe_tpu_pallasloop.py.)"""
+    import jax
+    import mpc4quantum_tpu as m4q
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+    from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+    from mpc4quantum_tpu.parallel.fleet import make_scenario_batch
+    from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from test_mpc_e2e import make_not_state_problem
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), plant, 2, detune_scale=0.01)
+    import dataclasses
+    # tiny ADMM budget and horizon: interpret-mode compile of the unrolled
+    # kernel explodes superlinearly with (iters x n); acceptance loosened so
+    # the short solves still count as converged on both paths. The targets
+    # built for H=10 are oversized for H=6, which the driver's dynamic
+    # windows absorb.
+    cfg = dataclasses.replace(config, horizon=6, n_steps=2, qp_backend="ns",
+                              qp_params=BoxQPParams(max_iter=4, n_rounds=2,
+                                                    accept_abs=0.5, accept_rel=0.5))
+    runner = HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
+                         warm_sqp_iters=2, qp_impl="pallas", pallas_interpret=True)
+    out = runner.run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys)
+    assert out["final_x"].shape == (2, 4)
+    assert np.all(np.isfinite(out["us"]))
+    runner_x = HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
+                           warm_sqp_iters=2, qp_impl="xla")
+    out_x = runner_x.run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys)
+    np.testing.assert_array_equal(out["exit_code"], out_x["exit_code"])
+    np.testing.assert_allclose(out["us"], out_x["us"], atol=1e-3)
+    # a nonzero pulse must actually have been commanded (non-vacuous)
+    assert np.max(np.abs(out_x["us"])) > 0.01
