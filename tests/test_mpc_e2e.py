@@ -312,23 +312,27 @@ def test_hostloop_driver_matches_scan_driver():
     rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
     plants, keys = make_scenario_batch(jax.random.PRNGKey(0), plant, 4, detune_scale=0.01)
 
-    cfg = dataclasses.replace(config, qp_backend="ns", sqp_unroll=0,
-                              qp_params=BoxQPParams(max_iter=60, n_rounds=2))
+    # loop-form equivalence holds at ANY budget - run a shortened workload
+    # (full-budget closed-loop quality is asserted elsewhere in this file)
+    cfg = dataclasses.replace(config, n_steps=8, qp_backend="ns", sqp_unroll=0,
+                              qp_params=BoxQPParams(max_iter=30, n_rounds=2))
     # scan driver reference run (same NS backend and taylor plant so the
     # only difference is the loop form)
-    cfg_scan = dataclasses.replace(cfg, sqp_unroll=12)
+    cfg_scan = dataclasses.replace(cfg, sqp_unroll=6)
     res_scan = batched_mpc(jnp.asarray(rho0), model, plants, X_targ, U_targ, Q, R, Qf,
                            cfg_scan, sat, du=du, keys=keys,
                            plant_step_fn=quantum_step_taylor)
 
     runner = HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
-                         warm_sqp_iters=12)
+                         warm_sqp_iters=6)
     out = runner.run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys)
 
     np.testing.assert_allclose(out["us"], np.asarray(res_scan.us), atol=1e-8)
     np.testing.assert_allclose(out["final_x"], np.asarray(res_scan.xs[:, :, -1]), atol=1e-8)
     np.testing.assert_array_equal(out["exit_code"], np.asarray(res_scan.exit_code))
-    assert np.all(out["final_x"][:, 3].real > 0.99)
+    # a real pulse was commanded and tracking is under way (non-vacuous)
+    assert np.max(np.abs(out["us"])) > 0.01
+    assert np.all(out["final_x"][:, 3].real > 0.5)
 
 
 def test_real_embedded_mode_matches_complex():
@@ -342,8 +346,10 @@ def test_real_embedded_mode_matches_complex():
     from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
 
     rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
-    cfg = dataclasses.replace(config, qp_backend="ns", sqp_unroll=8,
-                              qp_params=BoxQPParams(max_iter=60, n_rounds=2))
+    # the embedding is exact at ANY budget - shortened workload (full-budget
+    # quality asserted elsewhere)
+    cfg = dataclasses.replace(config, n_steps=8, qp_backend="ns", sqp_unroll=4,
+                              qp_params=BoxQPParams(max_iter=30, n_rounds=2))
 
     res_c = m4q.mpc(jnp.asarray(rho0), model, plant, X_targ, U_targ, Q, R, Qf,
                     cfg, sat=sat, du=du, key=jax.random.PRNGKey(1),
@@ -364,4 +370,6 @@ def test_real_embedded_mode_matches_complex():
                                atol=1e-6)
     xf_e = np.asarray(unembed_vec(res_e.xs[:, -1]))
     np.testing.assert_allclose(xf_e, np.asarray(res_c.xs[:, -1]), atol=1e-8)
-    assert float(xf_e[3].real) > 0.99
+    # a real pulse was commanded and tracking is under way (non-vacuous)
+    assert np.max(np.abs(np.asarray(res_e.us))) > 0.01
+    assert float(xf_e[3].real) > 0.5
