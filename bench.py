@@ -240,18 +240,23 @@ def main():
         from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
         from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
 
-        # measured iteration budget (round 2): fixed 2x60 ADMM + 8 warm SQP
-        # reproduces the adaptive path to ~3e-3*sat pulses, same fidelity.
-        # qp_impl="pallas" solves the whole fleet's QPs in one fused
-        # lane-batched kernel call per SQP iteration (measured on-chip:
-        # 2924 vs 2343 rollouts/s, same fidelity/convergence); on failure the
-        # exception path retries with the XLA solver before falling to CPU.
+        # measured config (round-2 sweep, experiments/probe_tpu_budget.py):
+        # 3x20 rho-rebalanced ADMM + 8 warm SQP iterations holds fleet
+        # fidelity 0.9993 with zero QP failures; qp_impl="pallas" solves the
+        # whole fleet's QPs in one fused lane-batched kernel call per SQP
+        # iteration, plant_impl="pallas" batch-expms the fleet's propagators,
+        # granularity="mixed" fuses each steady step into ONE dispatch.
+        # Together: ~2800 vs ~2100 rollouts/s for the all-XLA sqp-granular
+        # form. On failure the exception path retries with the XLA/sqp
+        # round-1-proven form before falling to CPU.
         qp_impl = os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
-        plant_impl = os.environ.get("BENCH_PLANT_IMPL", "xla")
+        plant_impl = os.environ.get("BENCH_PLANT_IMPL", "xla" if on_cpu else "pallas")
+        gran = os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "mixed")
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
-                            qp_backend="ns", qp_params=BoxQPParams(max_iter=60, n_rounds=2))
+                            qp_backend="ns", qp_params=BoxQPParams(max_iter=20, n_rounds=3))
         runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
-                             warm_sqp_iters=8, qp_impl=qp_impl, plant_impl=plant_impl)
+                             warm_sqp_iters=8, qp_impl=qp_impl, plant_impl=plant_impl,
+                             granularity=gran)
 
         def run_once():
             return runner.run(rho0, model, plants, X_targ, U_targ, Q, R, Q, keys,
@@ -314,6 +319,10 @@ def main():
         "engine_path": path,
         "qp_impl": (os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
                     if path == "hostloop" else "xla"),
+        "plant_impl": (os.environ.get("BENCH_PLANT_IMPL", "xla" if on_cpu else "pallas")
+                       if path == "hostloop" else "xla"),
+        "granularity": (os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "mixed")
+                        if path == "hostloop" else "-"),
         "fidelity_mean": round(fid_mean, 5),
         "completed_frac": completed,
         "baseline_cpu_s_per_rollout": round(cpu_s, 3),
@@ -353,11 +362,12 @@ if __name__ == "__main__":
             raise
         traceback.print_exc(file=sys.stderr)
         if os.environ.get("BENCH_QP_IMPL", "pallas") == "pallas":
-            # staged fallback: first retry on the TPU with the XLA QP solver
-            # (the round-1-proven path), only then fall back to CPU
+            # staged fallback: first retry on the TPU with the all-XLA
+            # sqp-granular form (the round-1-proven path), then CPU
             print(f"[bench] TPU pallas path failed ({type(e).__name__}); "
-                  "retrying with BENCH_QP_IMPL=xla", file=sys.stderr, flush=True)
-            env = dict(os.environ, BENCH_QP_IMPL="xla")
+                  "retrying with the XLA/sqp form", file=sys.stderr, flush=True)
+            env = dict(os.environ, BENCH_QP_IMPL="xla", BENCH_PLANT_IMPL="xla",
+                       BENCH_GRAN="sqp")
         else:
             print(f"[bench] TPU path failed ({type(e).__name__}); re-running on CPU",
                   file=sys.stderr, flush=True)

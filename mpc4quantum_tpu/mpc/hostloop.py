@@ -79,7 +79,10 @@ class HostLoopMPC:
         iteration + advance; fastest compile, most dispatches); "step" = two
         fused whole-step programs (warm with `warm_sqp_iters` unrolled SQP
         iterations, steady single-shot; ~4x fewer dispatches per rollout at
-        the cost of a long one-time compile of the warm program).
+        the cost of a long one-time compile of the warm program); "mixed" =
+        warm steps at "sqp" granularity, steady steps as ONE fused
+        iteration+advance program each - the dispatch-latency sweet spot
+        (small compiles, 1 launch per steady step instead of 3).
         :param qp_impl: "xla" = the QP solves inside the lane vmap
         (config.qp_backend selects chol/ns); "pallas" = per-lane assembly is
         vmapped but the whole fleet's box QPs are solved by ONE call to the
@@ -180,6 +183,36 @@ class HostLoopMPC:
                 return resplit(s_new)
             return jax.jit(prog)
 
+        def do_advance(carry, s, step, plants, model, Xtc, Utc, Q_s, R_s):
+            """Shared advance core (merged/complex domain). With
+            plant_impl="pallas" the fleet's plant propagators are computed by
+            ONE Pallas expm kernel call (ops/pallas_expm.py): assemble the B
+            generators -i dt (H0_b + sum_i u_bi H1_bi), batch-expm them on
+            lanes, then run the per-lane advance through PropagatedPlant."""
+            if self.plant_impl == "pallas":
+                from ..ops.pallas_expm import expm_pallas
+
+                step_fn = self._mk_prop(
+                    dataclasses.replace(self.config, single_shot=True, sqp_unroll=1)
+                )(Q_s, R_s)
+                # the control the advance will apply: U_opt[:, 0] per lane
+                u_apply = s[3][:, :, 0]                       # (B, dim_u)
+                Hs = plants.H0 + jnp.sum(
+                    u_apply[:, :, None, None].astype(plants.H1s.real.dtype)
+                    * plants.H1s, axis=1)                     # (B, d, d)
+                Us = expm_pallas((-1j * float(self.config.dt)) * Hs,
+                                 max_squarings=self.pallas_max_squarings,
+                                 interpret=self.pallas_interpret)
+                adv_plants = PropagatedPlant(base=plants, U=Us)
+            else:
+                step_fn = self._mk_steady(Q_s, R_s)
+                adv_plants = plants
+
+            def one(c, si, p, m):
+                return step_fn.advance(c, si, step, p, m, Xtc, Utc)
+
+            return jax.vmap(one, in_axes=(0, 0, 0, 0))(carry, s, adv_plants, model)
+
         def adv_prog(carry_s, s_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
             carry = merge_cx(carry_s)
             s = merge_cx(s_s)
@@ -189,52 +222,9 @@ class HostLoopMPC:
             Q = merge_cx(Q_s_)
             Qf = merge_cx(Qf_s_)
             Q_s, R_s = costs(Q, R_, Qf)
-            step_fn = self._mk_steady(Q_s, R_s)
-
-            def one(c, si, p, m):
-                c_new, m_new, outs = step_fn.advance(c, si, step, p, m,
-                                                     jnp.asarray(Xt, Q.dtype), jnp.asarray(Ut))
-                return c_new, m_new, outs
-
-            carry_new, model_new, outs = jax.vmap(one, in_axes=(0, 0, 0, 0))(carry, s, plants, model)
-            return resplit((carry_new, model_new, outs))
-
-        def adv_prog_pallas(carry_s, s_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
-            """Advance with the fleet's plant propagators computed by ONE
-            Pallas expm kernel call (ops/pallas_expm.py): assemble the B
-            generators -i dt (H0_b + sum_i u_bi H1_bi), batch-expm them on
-            lanes, then run the per-lane advance through PropagatedPlant."""
-            from ..ops.pallas_expm import expm_pallas
-
-            carry = merge_cx(carry_s)
-            s = merge_cx(s_s)
-            plants = merge_cx(plants_s)
-            model = merge_cx(model_s)
-            Xt = merge_cx(Xt_s)
-            Q = merge_cx(Q_s_)
-            Qf = merge_cx(Qf_s_)
-            Q_s, R_s = costs(Q, R_, Qf)
-            step_fn = self._mk_prop(
-                dataclasses.replace(self.config, single_shot=True, sqp_unroll=1)
-            )(Q_s, R_s)
-
-            # the control the advance will apply: U_opt[:, 0] per lane
-            u_apply = s[3][:, :, 0]                       # (B, dim_u)
-            Hs = plants.H0 + jnp.sum(
-                u_apply[:, :, None, None].astype(plants.H1s.real.dtype)
-                * plants.H1s, axis=1)                     # (B, d, d)
-            Us = expm_pallas((-1j * float(self.config.dt)) * Hs,
-                             max_squarings=self.pallas_max_squarings,
-                             interpret=self.pallas_interpret)
-            wrapped = PropagatedPlant(base=plants, U=Us)
-
-            def one(c, si, p, m):
-                return step_fn.advance(c, si, step, p, m,
-                                       jnp.asarray(Xt, Q.dtype), jnp.asarray(Ut))
-
-            carry_new, model_new, outs = jax.vmap(one, in_axes=(0, 0, 0, 0))(
-                carry, s, wrapped, model)
-            return resplit((carry_new, model_new, outs))
+            out = do_advance(carry, s, step, plants, model,
+                             jnp.asarray(Xt, Q.dtype), jnp.asarray(Ut), Q_s, R_s)
+            return resplit(out)
 
         def make_step(mk):
             """Fused whole-step program: SQP loop + advance in one dispatch."""
@@ -257,33 +247,76 @@ class HostLoopMPC:
                 return resplit((carry_new, model_new, outs))
             return jax.jit(prog)
 
-        def make_iter_pallas(mk, single_shot: bool):
-            """SQP iteration with the fleet's QPs solved by ONE Pallas kernel
-            call: vmapped per-lane linearize+condense+assemble, one
-            boxqp_pallas dispatch, vmapped line-search/blend tail. The kernel
-            runs the same warm-started, rho-rebalanced fixed-iteration ADMM
-            as solve_boxqp_fixed and its acceptance rule, so qp_impl="pallas"
-            and qp_backend="ns" are interchangeable."""
+        # --- fleet-batched Pallas QP iteration core -----------------------
+        # One SQP iteration with the fleet's QPs solved by ONE kernel call:
+        # vmapped per-lane linearize+condense+assemble, one boxqp_pallas
+        # dispatch, vmapped line-search/blend tail. The kernel runs the same
+        # warm-started, rho-rebalanced fixed-iteration ADMM as
+        # solve_boxqp_fixed and its acceptance rule, so qp_impl="pallas" and
+        # qp_backend="ns" are interchangeable.
+        qp = self.config.qp_params
+        # python scalars extracted at build time: struct-dataclass leaves
+        # closed over inside jit become tracers, which pallas kernels must
+        # receive as static parameters
+        qp_iters = int(qp.max_iter)
+        qp_rounds = int(qp.n_rounds)
+        qp_rho0 = float(qp.rho0)
+        qp_sigma = float(qp.sigma)
+        qp_alpha = float(qp.alpha)
+        qp_eps_abs = float(qp.eps_abs)
+        qp_eps_rel = float(qp.eps_rel)
+        qp_acc_abs = float(qp.accept_abs)
+        qp_acc_rel = float(qp.accept_rel)
+        cfgH = self.config.horizon
+
+        def pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
+                            carry, s, step, plants, model, Xtc, Utc):
+            """One fleet SQP iteration via the QP kernel (merged domain)."""
             from ..ops.pallas_qp import boxqp_pallas, boxqp_accept
             from ..ops.bilinear import model_along_traj
             from ..solvers.condense import qp_data, qp_finish, QPResult
             from .driver import sqp_update_from_qp
 
-            cfgH = self.config.horizon
-            qp = self.config.qp_params
-            # python scalars extracted at build time: struct-dataclass leaves
-            # closed over inside jit become tracers, which pallas kernels
-            # must receive as static parameters
-            qp_iters = int(qp.max_iter)
-            qp_rounds = int(qp.n_rounds)
-            qp_rho0 = float(qp.rho0)
-            qp_sigma = float(qp.sigma)
-            qp_alpha = float(qp.alpha)
-            qp_eps_abs = float(qp.eps_abs)
-            qp_eps_rel = float(qp.eps_rel)
-            qp_acc_abs = float(qp.accept_abs)
-            qp_acc_rel = float(qp.accept_rel)
+            def pre(c, si, p, m):
+                X_ref, U_ref, bm, lift_x, u_prev, _ = step_fn.context(
+                    c, step, p, m, Xtc, Utc)
+                Xg, Ug = si[0], si[1]
+                A_s, B_s, D_s = model_along_traj(bm, Xg[:, :cfgH], Ug)
+                P, q, lb, ub, w, M = qp_data(
+                    lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
+                    u_prev=u_prev, sat=self.sat, du=self.du, unroll=True)
+                return P, q, lb, ub, w, M, X_ref, U_ref
 
+            P, q, lb, ub, w, M, X_ref, U_ref = jax.vmap(pre)(carry, s, plants, model)
+            # warm start from the current guess, time-major like condense
+            Ug = s[1]
+            U_warm = jnp.swapaxes(Ug, 1, 2).reshape(Ug.shape[0], -1)
+
+            # fleet-batched kernel solve (the hot op)
+            Uvec, aux = boxqp_pallas(P, q, lb, ub, x0=U_warm,
+                                     iters=qp_iters, rounds=qp_rounds,
+                                     rho_scale=qp_rho0, sigma=qp_sigma,
+                                     alpha=qp_alpha,
+                                     interpret=self.pallas_interpret,
+                                     return_aux=True)
+            Uvec = Uvec.astype(P.dtype)
+            conv = boxqp_accept(aux, qp_eps_abs, qp_eps_rel,
+                                qp_acc_abs, qp_acc_rel)
+
+            def post(si, Uv, ok, wi, Mi, X_ref_i, U_ref_i):
+                X_opt, U_opt, obj = qp_finish(wi, Mi, Uv, X_ref_i, U_ref_i, Q_s, R_s)
+                res = QPResult(X=X_opt, U=U_opt, obj=obj,
+                               iters=jnp.asarray(qp_iters * qp_rounds),
+                               converged=ok)
+                s_new = sqp_update_from_qp(si, res, X_ref_i, U_ref_i, Q_s, R_s,
+                                           jnp.asarray(single_shot),
+                                           self.config.step_tol)
+                done_prev = si[6]
+                return tuple(jnp.where(done_prev, a, b) for a, b in zip(si, s_new))
+
+            return jax.vmap(post)(s, Uvec, conv, w, M, X_ref, U_ref)
+
+        def make_iter_pallas(mk, single_shot: bool):
             def prog(carry_s, s_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
                 carry = merge_cx(carry_s)
                 s = merge_cx(s_s)
@@ -294,56 +327,41 @@ class HostLoopMPC:
                 Qf = merge_cx(Qf_s_)
                 Q_s, R_s = costs(Q, R_, Qf)
                 step_fn = mk(Q_s, R_s)
+                s_new = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
+                                        carry, s, step, plants, model,
+                                        jnp.asarray(Xt, Q.dtype), jnp.asarray(Ut))
+                return resplit(s_new)
+
+            return jax.jit(prog)
+
+        def make_step_pallas(mk, single_shot: bool, n_iters: int):
+            """Fused whole-step program on the Pallas QP path: sqp_init +
+            n_iters kernel-solved SQP iterations + advance in ONE dispatch
+            (the steady state collapses to n_iters=1, so each steady step is
+            a single program launch instead of three)."""
+            def prog(carry_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
+                carry = merge_cx(carry_s)
+                plants = merge_cx(plants_s)
+                model = merge_cx(model_s)
+                Xt = merge_cx(Xt_s)
+                Q = merge_cx(Q_s_)
+                Qf = merge_cx(Qf_s_)
+                Q_s, R_s = costs(Q, R_, Qf)
+                step_fn = mk(Q_s, R_s)
                 Xtc = jnp.asarray(Xt, Q.dtype)
                 Utc = jnp.asarray(Ut)
-
-                def pre(c, si, p, m):
-                    from ..ops.bilinear import BilinearModel
-                    X_ref, U_ref, bm, lift_x, u_prev, _ = step_fn.context(
-                        c, step, p, m, Xtc, Utc)
-                    Xg, Ug = si[0], si[1]
-                    A_s, B_s, D_s = model_along_traj(bm, Xg[:, :cfgH], Ug)
-                    P, q, lb, ub, w, M = qp_data(
-                        lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
-                        u_prev=u_prev, sat=self.sat, du=self.du, unroll=True)
-                    return P, q, lb, ub, w, M, X_ref, U_ref
-
-                P, q, lb, ub, w, M, X_ref, U_ref = jax.vmap(pre)(carry, s, plants, model)
-                # warm start from the current guess, time-major like condense
-                Ug = s[1]
-                U_warm = jnp.swapaxes(Ug, 1, 2).reshape(Ug.shape[0], -1)
-
-                # fleet-batched kernel solve (the hot op)
-                Uvec, aux = boxqp_pallas(P, q, lb, ub, x0=U_warm,
-                                         iters=qp_iters, rounds=qp_rounds,
-                                         rho_scale=qp_rho0, sigma=qp_sigma,
-                                         alpha=qp_alpha,
-                                         interpret=self.pallas_interpret,
-                                         return_aux=True)
-                Uvec = Uvec.astype(P.dtype)
-                conv = boxqp_accept(aux, qp_eps_abs, qp_eps_rel,
-                                    qp_acc_abs, qp_acc_rel)
-
-                def post(si, Uv, ok, wi, Mi, X_ref_i, U_ref_i):
-                    X_opt, U_opt, obj = qp_finish(wi, Mi, Uv, X_ref_i, U_ref_i, Q_s, R_s)
-                    res = QPResult(X=X_opt, U=U_opt, obj=obj,
-                                   iters=jnp.asarray(qp_iters * qp_rounds),
-                                   converged=ok)
-                    s_new = sqp_update_from_qp(si, res, X_ref_i, U_ref_i, Q_s, R_s,
-                                               jnp.asarray(single_shot),
-                                               self.config.step_tol)
-                    done_prev = si[6]
-                    return tuple(jnp.where(done_prev, a, b) for a, b in zip(si, s_new))
-
-                s_new = jax.vmap(post)(s, Uvec, conv, w, M, X_ref, U_ref)
-                return resplit(s_new)
+                s = jax.vmap(step_fn.sqp_init)(carry)
+                for _ in range(n_iters):
+                    s = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
+                                        carry, s, step, plants, model, Xtc, Utc)
+                out = do_advance(carry, s, step, plants, model, Xtc, Utc, Q_s, R_s)
+                return resplit(out)
 
             return jax.jit(prog)
 
         progs = {
             "init": jax.jit(init_prog),
-            "advance": jax.jit(adv_prog_pallas if self.plant_impl == "pallas"
-                               else adv_prog),
+            "advance": jax.jit(adv_prog),
         }
         if self.qp_impl == "pallas":
             progs["iter_warm"] = make_iter_pallas(self._mk_warm, single_shot=False)
@@ -351,9 +369,18 @@ class HostLoopMPC:
         else:
             progs["iter_warm"] = make_iter(self._mk_warm)
             progs["iter_steady"] = make_iter(self._mk_steady)
-        if self.granularity == "step":
-            progs["step_warm"] = make_step(self._mk_warm)
-            progs["step_steady"] = make_step(self._mk_steady)
+        if self.granularity in ("step", "mixed"):
+            if self.qp_impl == "pallas":
+                progs["step_steady"] = make_step_pallas(self._mk_steady,
+                                                        single_shot=True, n_iters=1)
+                if self.granularity == "step":
+                    progs["step_warm"] = make_step_pallas(
+                        self._mk_warm, single_shot=False,
+                        n_iters=self.warm_sqp_iters)
+            else:
+                progs["step_steady"] = make_step(self._mk_steady)
+                if self.granularity == "step":
+                    progs["step_warm"] = make_step(self._mk_warm)
         return progs
 
     def run(self, x0, model_state, plants, X_targ, U_targ, Q, R, Qf, keys,
@@ -401,7 +428,9 @@ class HostLoopMPC:
         for step in range(cfg.n_steps):
             warm = (step <= 1) if cfg.warm_start else True
             step_arr = np.asarray(step, np.int32)
-            if self.granularity == "step":
+            fused = (self.granularity == "step"
+                     or (self.granularity == "mixed" and not warm))
+            if fused:
                 prog = progs["step_warm"] if warm else progs["step_steady"]
                 carry, model_s, outs = prog(carry, step_arr, args[0], model_s,
                                             *args[2:])

@@ -7,3 +7,4 @@ from .fleet import (
     sharded_fleet_summary,
 )
 from .mesh import init_distributed, fleet_mesh, scaling_report
+from .tensor import op_mesh, row_sharded_predict, row_sharded_rollout, dp_tp_rollout

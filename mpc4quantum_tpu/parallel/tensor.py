@@ -1,0 +1,144 @@
+"""Tensor-parallel layer: shard the Liouville operator contraction.
+
+The scenario fleet (parallel/fleet.py) is the data-parallel axis. This
+module opens the second mesh axis SURVEY.md section 2.4 reserves for large
+state spaces: an n-qubit Liouville operator has dim_x = 4^n (64 at 3 qubits,
+1024 at 5), and the bilinear model application
+
+    x+ = A_x x + A_u (f(u) (x) x)      (models/dmdc.predict)
+
+is a (dim_x, dim_x * L) contraction whose FLOPs and weights grow as 16^n.
+Sharding: the stacked operator A is split by ROWS over the "op" mesh axis
+(weights never replicated), the state x is replicated; each device computes
+its row block of x+ and one `all_gather` over ICI re-forms the full state
+for the next step. This is the standard megatron-style row-parallel pattern
+- one collective per application, traffic O(dim_x) vs O(dim_x^2 L) compute.
+
+Composes with the fleet: a 2-D ("scenarios", "op") mesh runs DP x TP -
+scenario shards on one axis, operator rows on the other.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.library import krtimes
+
+
+def op_mesh(n_scenario: int | None = None, n_op: int | None = None,
+            devices: Sequence | None = None) -> Mesh:
+    """Build a ("scenarios", "op") 2-D mesh (or 1-D ("op",) when
+    n_scenario is None) over the given/available devices."""
+    devices = jax.devices() if devices is None else list(devices)
+    if n_scenario is None:
+        n_op = len(devices) if n_op is None else n_op
+        return Mesh(np.asarray(devices[:n_op]), ("op",))
+    n_op = len(devices) // n_scenario if n_op is None else n_op
+    grid = np.asarray(devices[: n_scenario * n_op]).reshape(n_scenario, n_op)
+    return Mesh(grid, ("scenarios", "op"))
+
+
+def row_sharded_predict(mesh: Mesh, A, lift_x, lift_ux, axis_name: str = "op"):
+    """One row-parallel bilinear model application.
+
+    :param A: (dim_x, dim_x * L) stacked operator; rows sharded over
+        `axis_name` (dim_x divisible by the axis size).
+    :param lift_x: (dim_x,) lifted state (replicated).
+    :param lift_ux: (dim_x * (L - 1),) control-state Khatri-Rao lift.
+    :return: (dim_x,) next lifted state, fully replicated on exit.
+    """
+    dim_x = lift_x.shape[0]
+
+    def fn(A_blk, x, ux):
+        z = jnp.concatenate([x, ux])
+        local = A_blk @ z  # my row block of x+
+        return jax.lax.all_gather(local, axis_name, tiled=True)
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis_name, None), P(), P()),
+        out_specs=P(),
+        # the all_gather over the only axis makes the output replicated, but
+        # the static checker cannot always infer that - same opt-out as
+        # parallel/fleet.py
+        check_vma=False,
+    )(A, lift_x, lift_ux)
+
+
+def row_sharded_rollout(mesh: Mesh, A, lift_u_fn, x0, us,
+                        axis_name: str = "op"):
+    """Closed model rollout with the operator row-sharded over the mesh.
+
+    The scan stays on-chip; each step is (local row-block matmul) +
+    (one tiled all_gather over ICI). Weights are loaded once, never
+    replicated - the memory-capacity axis for 4^n-dim operators.
+
+    :param A: (dim_x, dim_x * L) stacked operator.
+    :param lift_u_fn: (dim_u, 1) -> (L, 1) monomial lift (BilinearModel.lift_u).
+    :param x0: (dim_x,) initial lifted state.
+    :param us: (dim_u, n) controls.
+    :return: (dim_x, n + 1) trajectory (replicated).
+    """
+    dim_x = x0.shape[0]
+    # precompute the control lifts outside the shard (tiny)
+    lifts = jax.vmap(lambda u: lift_u_fn(u.reshape(-1, 1))[:, 0], in_axes=1)(us)  # (n, L)
+
+    def fn(A_blk, x0_r, lifts_r):
+        def step(x, fu):
+            ux = krtimes(fu.reshape(-1, 1).astype(x.dtype), x.reshape(-1, 1))[:, 0]
+            z = jnp.concatenate([x, ux])
+            local = A_blk @ z
+            x_next = jax.lax.all_gather(local, axis_name, tiled=True)
+            return x_next, x_next
+
+        _, xs = jax.lax.scan(step, x0_r, lifts_r)
+        return jnp.concatenate([x0_r[None, :], xs], axis=0).T
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis_name, None), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(A, x0, lifts)
+
+
+def dp_tp_rollout(mesh: Mesh, A, lift_u_fn, x0, us_batch,
+                  scenario_axis: str = "scenarios", op_axis: str = "op"):
+    """DP x TP: scenario batch sharded over one mesh axis, operator rows over
+    the other. Each (scenario-shard, op-shard) device computes its row block
+    for its scenarios; the all_gather runs over the op axis only (subgroups
+    of the 2-D mesh), so scenario shards never communicate.
+
+    :param us_batch: (B, dim_u, n) per-scenario controls (B divisible by the
+        scenario axis size).
+    :return: (B, dim_x, n + 1) trajectories.
+    """
+    lifts = jax.vmap(jax.vmap(lambda u: lift_u_fn(u.reshape(-1, 1))[:, 0], in_axes=1))(
+        us_batch)  # (B, n, L)
+
+    def fn(A_blk, x0_r, lifts_b):
+        def one(lifts_r):
+            def step(x, fu):
+                ux = krtimes(fu.reshape(-1, 1).astype(x.dtype), x.reshape(-1, 1))[:, 0]
+                z = jnp.concatenate([x, ux])
+                local = A_blk @ z
+                x_next = jax.lax.all_gather(local, op_axis, tiled=True)
+                return x_next, x_next
+
+            _, xs = jax.lax.scan(step, x0_r, lifts_r)
+            return jnp.concatenate([x0_r[None, :], xs], axis=0).T
+
+        return jax.vmap(one)(lifts_b)
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(op_axis, None), P(), P(scenario_axis)),
+        out_specs=P(scenario_axis),
+        check_vma=False,
+    )(A, x0, lifts)
