@@ -1,0 +1,97 @@
+"""TPU probe P: the OTHER benchmark presets as fleets on the chip - drag
+(3-level transmon, truncate lift), crosstalk (partial-trace lift,
+measure_freq=2, warm_start=False), cnot_state (dim 16, H=50, n=200).
+
+The flagship probe (probe_tpu_pallasloop) covers not_state; this one widens
+on-chip validation to the remaining workload shapes. XLA QP path (the
+fully-unrolled Pallas kernel is only built for small n = H*dim_u).
+
+Env: PP_CASES (comma list, default "drag,crosstalk,cnot"), PP_BATCH (256).
+"""
+import os
+import sys
+import time
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import dataclasses
+import mpc4quantum_tpu as m4q
+from mpc4quantum_tpu import presets
+from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+from mpc4quantum_tpu.parallel.fleet import make_scenario_batch
+
+cases = os.environ.get("PP_CASES", "drag,crosstalk,cnot").split(",")
+batch = int(os.environ.get("PP_BATCH", "256"))
+step_cap = int(os.environ.get("PP_STEPS", "0"))  # 0 = full length
+
+
+def run_case(name, sc, B, warm_iters=8):
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), sc.plant, B,
+                                       detune_scale=0.01)
+    cfg = dataclasses.replace(sc.config, qp_backend="ns")
+    if step_cap:
+        cfg = dataclasses.replace(cfg, n_steps=min(cfg.n_steps, step_cap))
+    runner = HostLoopMPC(cfg, sc.sat, du=sc.du,
+                         plant_step_fn=quantum_step_taylor,
+                         lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
+                         warm_sqp_iters=warm_iters, granularity="mixed",
+                         qp_impl="xla", plant_impl="xla")
+    t0 = time.time()
+    out = runner.run(sc.x0, sc.model, plants, sc.X_targ, sc.U_targ,
+                     sc.Q, sc.R, sc.Qf, keys, record=False)
+    first = time.time() - t0
+    fid = np.real(out["final_x"] @ np.conj(sc.target_state))
+    t0 = time.time()
+    out = runner.run(sc.x0, sc.model, plants, sc.X_targ, sc.U_targ,
+                     sc.Q, sc.R, sc.Qf, keys, record=False)
+    best = time.time() - t0
+    print(f"[{name} B={B}] first={first:.0f}s steady={best*1e3:.0f}ms "
+          f"-> {B/best:.0f} r/s fid={fid.mean():.5f}/{fid.min():.5f} "
+          f"fails={(out['exit_code'] != 0).sum()}", flush=True)
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    if "drag" in cases:
+        try:
+            run_case("drag", presets.drag_state(), batch)
+        except Exception:
+            print("[drag] FAIL", flush=True)
+            traceback.print_exc()
+    if "crosstalk" in cases:
+        try:
+            run_case("crosstalk", presets.crosstalk(coupling=0.01), batch,
+                     warm_iters=6)
+        except Exception:
+            print("[crosstalk] FAIL", flush=True)
+            traceback.print_exc()
+    if "cnot" in cases:
+        try:
+            from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+
+            sc = presets.cnot_state()
+            # the preset's 3x300 ADMM budget fully unrolls in the ns/pallas
+            # form - too large a graph; 3x100 keeps compile bounded (costs
+            # ~0.01 fidelity vs the adaptive path)
+            sc = dataclasses.replace(
+                sc, config=dataclasses.replace(
+                    sc.config,
+                    qp_params=BoxQPParams(eps_abs=1e-8, eps_rel=1e-8,
+                                          max_iter=100, n_rounds=3)))
+            run_case("cnot", sc, min(batch, 64))
+        except Exception:
+            print("[cnot] FAIL", flush=True)
+            traceback.print_exc()
+    print("PROBE_P_DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

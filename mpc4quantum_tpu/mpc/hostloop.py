@@ -103,6 +103,7 @@ class HostLoopMPC:
         self.plant_impl = plant_impl
         self.pallas_interpret = pallas_interpret
         self.pallas_max_squarings = pallas_max_squarings
+        self._lift_fn = lift_fn
         mk = lambda cfg: lambda Q_s, R_s: make_mpc_step(
             cfg, Q_s, R_s, sat, du,
             plant_step_fn=plant_step_fn, lift_fn=lift_fn, proj_fn=proj_fn,
@@ -403,7 +404,13 @@ class HostLoopMPC:
         x0 = x0.astype(cdtype)
         H = cfg.horizon
 
-        Xg = np.repeat(x0[:, :, None], H + 1, axis=2)
+        # SDRE-style initial guess in MODEL space: X_guess = repeat(lift(x0))
+        # (reference mpc.py:135-142). Computed host-side on the CPU backend
+        # so no complex array crosses the accelerator boundary.
+        with jax.default_device(jax.devices("cpu")[0]):
+            lx0 = np.asarray(jax.vmap(self._lift_fn)(
+                jax.tree.map(jnp.asarray, plants), jnp.asarray(x0))).astype(cdtype)
+        Xg = np.repeat(lx0[:, :, None], H + 1, axis=2)
         Ug = np.zeros((B, cfg.dim_u, H), x0.real.dtype)
         u_last = np.tile(np.asarray(U_targ)[None, :, 0], (B, 1)).astype(x0.real.dtype)
         carry = split_cx((

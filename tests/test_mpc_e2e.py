@@ -298,6 +298,44 @@ def test_tpu_safe_path_matches_default():
     assert abs(p1_s - p1_d) < 1e-3
 
 
+def test_hostloop_matches_scan_with_nonidentity_lift():
+    """Host-loop driver on a plant whose lift is NOT identity (crosstalk
+    preset: partial-trace lift, model space dim 8 vs experiment space dim
+    16). Regression: the initial SQP guess must be built from lift(x0), not
+    x0 (round-2 bug - the flagship's identity lift masked it)."""
+    import dataclasses
+    from mpc4quantum_tpu import presets
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+    from mpc4quantum_tpu.parallel.fleet import make_scenario_batch, batched_mpc
+    from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+    from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+
+    sc = presets.crosstalk(coupling=0.01)
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), sc.plant, 2,
+                                       detune_scale=0.01)
+    # 2x60 ADMM: the 8-dim stacked model's condensed QP needs the full
+    # budget to pass acceptance (2x30 exits with QP-failure code 2)
+    cfg = dataclasses.replace(sc.config, n_steps=4, qp_backend="ns",
+                              qp_params=BoxQPParams(max_iter=60, n_rounds=2))
+    cfg_scan = dataclasses.replace(cfg, sqp_unroll=4)
+    res_scan = batched_mpc(jnp.asarray(sc.x0), sc.model, plants,
+                           sc.X_targ, sc.U_targ, sc.Q, sc.R, sc.Qf,
+                           cfg_scan, sc.sat, du=sc.du, keys=keys,
+                           plant_step_fn=quantum_step_taylor,
+                           lift_fn=sc.lift_fn, proj_fn=sc.proj_fn)
+    runner = HostLoopMPC(cfg, sc.sat, du=sc.du,
+                         plant_step_fn=quantum_step_taylor,
+                         lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
+                         warm_sqp_iters=4)
+    out = runner.run(sc.x0, sc.model, plants, sc.X_targ, sc.U_targ,
+                     sc.Q, sc.R, sc.Qf, keys)
+    np.testing.assert_allclose(out["us"], np.asarray(res_scan.us), atol=1e-8)
+    np.testing.assert_allclose(out["final_x"], np.asarray(res_scan.xs[:, :, -1]),
+                               atol=1e-8)
+    assert np.all(out["exit_code"] == 0)
+    assert np.max(np.abs(out["us"])) > 1e-3  # non-vacuous
+
+
 def test_hostloop_driver_matches_scan_driver():
     """The host-driven chunked driver (mpc/hostloop.py) is built from the
     same make_mpc_step pieces as the scan driver; on a batch of scenarios it
