@@ -176,7 +176,12 @@ def cpu_baseline_rollout(detune=0.99):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # default batch from the round-2 scaling sweep (experiments/
+    # probe_tpu_scale.py): throughput climbs to ~11k rollouts/s at 32768 but
+    # with run-to-run variance; 8192 is the stable knee (~9k r/s). CPU runs
+    # default smaller.
+    default_b = "1024" if os.environ.get("BENCH_DEVICE") == "cpu" else "8192"
+    batch = int(os.environ.get("BENCH_BATCH", default_b))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     import jax

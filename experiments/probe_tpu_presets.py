@@ -33,9 +33,29 @@ batch = int(os.environ.get("PP_BATCH", "256"))
 step_cap = int(os.environ.get("PP_STEPS", "0"))  # 0 = full length
 
 
-def run_case(name, sc, B, warm_iters=8):
-    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), sc.plant, B,
-                                       detune_scale=0.01)
+def _build_cpu(make_sc, B):
+    """Construct the scenario + fleet on the CPU backend: preset builders
+    run eager complex jnp ops, which must not land on the axon device
+    (complex transfers unimplemented) - everything crosses to the TPU later
+    through the host-loop's CxPair boundary."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sc = make_sc()
+        plants, keys = make_scenario_batch(jax.random.PRNGKey(0), sc.plant, B,
+                                           detune_scale=0.01)
+        sc = dataclasses.replace(
+            sc,
+            model=jax.tree.map(np.asarray, sc.model),
+            X_targ=np.asarray(sc.X_targ), U_targ=np.asarray(sc.U_targ),
+            Q=np.asarray(sc.Q), R=np.asarray(sc.R), Qf=np.asarray(sc.Qf),
+        )
+        plants = jax.tree.map(np.asarray, plants)
+        keys = np.asarray(keys)
+    return sc, plants, keys
+
+
+def run_case(name, make_sc, B, warm_iters=8):
+    sc, plants, keys = _build_cpu(make_sc, B)
     cfg = dataclasses.replace(sc.config, qp_backend="ns")
     if step_cap:
         cfg = dataclasses.replace(cfg, n_steps=min(cfg.n_steps, step_cap))
@@ -62,14 +82,14 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     if "drag" in cases:
         try:
-            run_case("drag", presets.drag_state(), batch)
+            run_case("drag", presets.drag_state, batch)
         except Exception:
             print("[drag] FAIL", flush=True)
             traceback.print_exc()
     if "crosstalk" in cases:
         try:
-            run_case("crosstalk", presets.crosstalk(coupling=0.01), batch,
-                     warm_iters=6)
+            run_case("crosstalk", lambda: presets.crosstalk(coupling=0.01),
+                     batch, warm_iters=6)
         except Exception:
             print("[crosstalk] FAIL", flush=True)
             traceback.print_exc()
@@ -77,16 +97,18 @@ def main():
         try:
             from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
 
-            sc = presets.cnot_state()
-            # the preset's 3x300 ADMM budget fully unrolls in the ns/pallas
-            # form - too large a graph; 3x100 keeps compile bounded (costs
-            # ~0.01 fidelity vs the adaptive path)
-            sc = dataclasses.replace(
-                sc, config=dataclasses.replace(
-                    sc.config,
-                    qp_params=BoxQPParams(eps_abs=1e-8, eps_rel=1e-8,
-                                          max_iter=100, n_rounds=3)))
-            run_case("cnot", sc, min(batch, 64))
+            def make_cnot():
+                sc = presets.cnot_state()
+                # the preset's 3x300 ADMM budget fully unrolls in the
+                # ns/pallas form - too large a graph; 3x100 keeps compile
+                # bounded (costs ~0.01 fidelity vs the adaptive path)
+                return dataclasses.replace(
+                    sc, config=dataclasses.replace(
+                        sc.config,
+                        qp_params=BoxQPParams(eps_abs=1e-8, eps_rel=1e-8,
+                                              max_iter=100, n_rounds=3)))
+
+            run_case("cnot", make_cnot, min(batch, 64))
         except Exception:
             print("[cnot] FAIL", flush=True)
             traceback.print_exc()
