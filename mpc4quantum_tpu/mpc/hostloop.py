@@ -73,6 +73,7 @@ class HostLoopMPC:
                  granularity: str = "sqp",
                  qp_impl: str = "xla",
                  plant_impl: str = "xla",
+                 steady_fuse: int = 1,
                  pallas_interpret: bool = False,
                  pallas_max_squarings: int = 12):
         """:param granularity: "sqp" = four small programs (one per SQP
@@ -83,6 +84,12 @@ class HostLoopMPC:
         warm steps at "sqp" granularity, steady steps as ONE fused
         iteration+advance program each - the dispatch-latency sweet spot
         (small compiles, 1 launch per steady step instead of 3).
+        :param steady_fuse: with granularity "mixed"/"step", fuse this many
+        CONSECUTIVE steady steps into one program (k full init+QP+advance
+        step bodies back to back) - k-fold fewer dispatches at k-fold
+        program size. Only the chunk's last per-step outputs are returned,
+        so it applies when run(record=False); recorded runs fall back to
+        per-step programs.
         :param qp_impl: "xla" = the QP solves inside the lane vmap
         (config.qp_backend selects chol/ns); "pallas" = per-lane assembly is
         vmapped but the whole fleet's box QPs are solved by ONE call to the
@@ -101,6 +108,7 @@ class HostLoopMPC:
         self.granularity = granularity
         self.qp_impl = qp_impl
         self.plant_impl = plant_impl
+        self.steady_fuse = int(steady_fuse)
         self.pallas_interpret = pallas_interpret
         self.pallas_max_squarings = pallas_max_squarings
         self._lift_fn = lift_fn
@@ -227,8 +235,9 @@ class HostLoopMPC:
                              jnp.asarray(Xt, Q.dtype), jnp.asarray(Ut), Q_s, R_s)
             return resplit(out)
 
-        def make_step(mk):
-            """Fused whole-step program: SQP loop + advance in one dispatch."""
+        def make_step(mk, k: int = 1):
+            """Fused k-step program: k full SQP+advance step bodies in one
+            dispatch (k=1 is the single fused whole-step)."""
             def prog(carry_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
                 carry = merge_cx(carry_s)
                 plants = merge_cx(plants_s)
@@ -238,14 +247,16 @@ class HostLoopMPC:
                 Qf = merge_cx(Qf_s_)
                 Q_s, R_s = costs(Q, R_, Qf)
                 step_fn = mk(Q_s, R_s)
+                Xtc = jnp.asarray(Xt, Q.dtype)
+                Utc = jnp.asarray(Ut)
+                outs = None
+                for j in range(k):
+                    def one(c, p, m, j=j):
+                        return step_fn(c, step + j, p, m, Xtc, Utc)
 
-                def one(c, p, m):
-                    return step_fn(c, step, p, m, jnp.asarray(Xt, Q.dtype),
-                                   jnp.asarray(Ut))
-
-                carry_new, model_new, outs = jax.vmap(one, in_axes=(0, 0, 0))(
-                    carry, plants, model)
-                return resplit((carry_new, model_new, outs))
+                    carry, model, outs = jax.vmap(one, in_axes=(0, 0, 0))(
+                        carry, plants, model)
+                return resplit((carry, model, outs))
             return jax.jit(prog)
 
         # --- fleet-batched Pallas QP iteration core -----------------------
@@ -335,11 +346,11 @@ class HostLoopMPC:
 
             return jax.jit(prog)
 
-        def make_step_pallas(mk, single_shot: bool, n_iters: int):
-            """Fused whole-step program on the Pallas QP path: sqp_init +
-            n_iters kernel-solved SQP iterations + advance in ONE dispatch
-            (the steady state collapses to n_iters=1, so each steady step is
-            a single program launch instead of three)."""
+        def make_step_pallas(mk, single_shot: bool, n_iters: int, k: int = 1):
+            """Fused k-step program on the Pallas QP path: k repetitions of
+            (sqp_init + n_iters kernel-solved SQP iterations + advance) in
+            ONE dispatch (the steady state collapses to n_iters=1, so each
+            steady step chunk is a single program launch)."""
             def prog(carry_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
                 carry = merge_cx(carry_s)
                 plants = merge_cx(plants_s)
@@ -351,12 +362,16 @@ class HostLoopMPC:
                 step_fn = mk(Q_s, R_s)
                 Xtc = jnp.asarray(Xt, Q.dtype)
                 Utc = jnp.asarray(Ut)
-                s = jax.vmap(step_fn.sqp_init)(carry)
-                for _ in range(n_iters):
-                    s = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
-                                        carry, s, step, plants, model, Xtc, Utc)
-                out = do_advance(carry, s, step, plants, model, Xtc, Utc, Q_s, R_s)
-                return resplit(out)
+                outs = None
+                for j in range(k):
+                    stp = step + j
+                    s = jax.vmap(step_fn.sqp_init)(carry)
+                    for _ in range(n_iters):
+                        s = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
+                                            carry, s, stp, plants, model, Xtc, Utc)
+                    carry, model, outs = do_advance(carry, s, stp, plants, model,
+                                                    Xtc, Utc, Q_s, R_s)
+                return resplit((carry, model, outs))
 
             return jax.jit(prog)
 
@@ -374,12 +389,19 @@ class HostLoopMPC:
             if self.qp_impl == "pallas":
                 progs["step_steady"] = make_step_pallas(self._mk_steady,
                                                         single_shot=True, n_iters=1)
+                if self.steady_fuse > 1:
+                    progs["step_steady_k"] = make_step_pallas(
+                        self._mk_steady, single_shot=True, n_iters=1,
+                        k=self.steady_fuse)
                 if self.granularity == "step":
                     progs["step_warm"] = make_step_pallas(
                         self._mk_warm, single_shot=False,
                         n_iters=self.warm_sqp_iters)
             else:
                 progs["step_steady"] = make_step(self._mk_steady)
+                if self.steady_fuse > 1:
+                    progs["step_steady_k"] = make_step(self._mk_steady,
+                                                       k=self.steady_fuse)
                 if self.granularity == "step":
                     progs["step_warm"] = make_step(self._mk_warm)
         return progs
@@ -432,11 +454,21 @@ class HostLoopMPC:
         model_s = args[1]
 
         per_step = []
-        for step in range(cfg.n_steps):
+        step = 0
+        while step < cfg.n_steps:
             warm = (step <= 1) if cfg.warm_start else True
             step_arr = np.asarray(step, np.int32)
             fused = (self.granularity == "step"
                      or (self.granularity == "mixed" and not warm))
+            # k-step chunk: only when not recording (a chunk returns only
+            # its last step's outputs)
+            k = self.steady_fuse
+            if (fused and not warm and not record and k > 1
+                    and step + k <= cfg.n_steps):
+                carry, model_s, outs = progs["step_steady_k"](
+                    carry, step_arr, args[0], model_s, *args[2:])
+                step += k
+                continue
             if fused:
                 prog = progs["step_warm"] if warm else progs["step_steady"]
                 carry, model_s, outs = prog(carry, step_arr, args[0], model_s,
@@ -451,6 +483,7 @@ class HostLoopMPC:
                                                         model_s, *args[2:])
             if record:
                 per_step.append(outs)
+            step += 1
 
         jax.block_until_ready(carry[0].re)
         # int/bool device->host fetches are unimplemented on the axon

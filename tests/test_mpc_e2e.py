@@ -298,6 +298,28 @@ def test_tpu_safe_path_matches_default():
     assert abs(p1_s - p1_d) < 1e-3
 
 
+def test_hostloop_steady_fuse_matches_per_step():
+    """steady_fuse=k (k steady steps fused into one program) must leave the
+    rollout unchanged - same final states and exit codes as per-step
+    dispatch, including the non-divisible tail."""
+    import dataclasses
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+    from mpc4quantum_tpu.parallel.fleet import make_scenario_batch
+    from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+    from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), plant, 2, detune_scale=0.01)
+    cfg = dataclasses.replace(config, n_steps=7, qp_backend="ns",
+                              qp_params=BoxQPParams(max_iter=30, n_rounds=2))
+    mk = lambda k: HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
+                               warm_sqp_iters=3, granularity="mixed", steady_fuse=k)
+    base = mk(1).run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys, record=False)
+    fuse = mk(3).run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys, record=False)
+    np.testing.assert_allclose(fuse["final_x"], base["final_x"], atol=1e-12)
+    np.testing.assert_array_equal(fuse["exit_code"], base["exit_code"])
+
+
 def test_hostloop_matches_scan_with_nonidentity_lift():
     """Host-loop driver on a plant whose lift is NOT identity (crosstalk
     preset: partial-trace lift, model space dim 8 vs experiment space dim
