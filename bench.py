@@ -257,11 +257,14 @@ def main():
         qp_impl = os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
         plant_impl = os.environ.get("BENCH_PLANT_IMPL", "xla" if on_cpu else "pallas")
         gran = os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "mixed")
+        # 3 steady steps per dispatch: the sweep optimum (probe_tpu_fuse.py;
+        # k=1 is dispatch-latency-bound, k=6 regresses)
+        fuse = int(os.environ.get("BENCH_FUSE", "1" if on_cpu else "3"))
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
                             qp_backend="ns", qp_params=BoxQPParams(max_iter=20, n_rounds=3))
         runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
                              warm_sqp_iters=8, qp_impl=qp_impl, plant_impl=plant_impl,
-                             granularity=gran)
+                             granularity=gran, steady_fuse=fuse)
 
         def run_once():
             return runner.run(rho0, model, plants, X_targ, U_targ, Q, R, Q, keys,

@@ -54,14 +54,15 @@ def _build_cpu(make_sc, B):
     return sc, plants, keys
 
 
-def run_case(name, make_sc, B, warm_iters=8):
+def run_case(name, make_sc, B, warm_iters=8, plant_step_fn=None):
     sc, plants, keys = _build_cpu(make_sc, B)
     cfg = dataclasses.replace(sc.config, qp_backend="ns")
     if step_cap:
         cfg = dataclasses.replace(cfg, n_steps=min(cfg.n_steps, step_cap))
     runner = HostLoopMPC(cfg, sc.sat, du=sc.du,
-                         plant_step_fn=quantum_step_taylor,
+                         plant_step_fn=plant_step_fn or quantum_step_taylor,
                          lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
+                         exit_condition=sc.exit_condition,
                          warm_sqp_iters=warm_iters, granularity="mixed",
                          qp_impl="xla", plant_impl="xla")
     t0 = time.time()
@@ -73,9 +74,10 @@ def run_case(name, make_sc, B, warm_iters=8):
     out = runner.run(sc.x0, sc.model, plants, sc.X_targ, sc.U_targ,
                      sc.Q, sc.R, sc.Qf, keys, record=False)
     best = time.time() - t0
+    codes = out["exit_code"]
     print(f"[{name} B={B}] first={first:.0f}s steady={best*1e3:.0f}ms "
           f"-> {B/best:.0f} r/s fid={fid.mean():.5f}/{fid.min():.5f} "
-          f"fails={(out['exit_code'] != 0).sum()}", flush=True)
+          f"exits={np.bincount(codes, minlength=4).tolist()}", flush=True)
 
 
 def main():
@@ -111,6 +113,24 @@ def main():
             run_case("cnot", make_cnot, min(batch, 64))
         except Exception:
             print("[cnot] FAIL", flush=True)
+            traceback.print_exc()
+    if "freq" in cases:
+        try:
+            run_case("freq", presets.not_state_freq, batch)
+        except Exception:
+            print("[freq] FAIL", flush=True)
+            traceback.print_exc()
+    if "gate" in cases:
+        try:
+            from mpc4quantum_tpu.plants.synthesis import synthesis_step_taylor
+
+            # n_steps=100 > the ~75 needed for the exit condition to be
+            # physically reachable (preset docstring) - exercises per-lane
+            # masked early exit (code 1) on-chip
+            run_case("gate", lambda: presets.not_gate(n_steps=100),
+                     min(batch, 128), plant_step_fn=synthesis_step_taylor)
+        except Exception:
+            print("[gate] FAIL", flush=True)
             traceback.print_exc()
     print("PROBE_P_DONE", flush=True)
 
