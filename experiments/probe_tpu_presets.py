@@ -99,6 +99,8 @@ def main():
         try:
             from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
 
+            cnot_iters = int(os.environ.get("PP_CNOT_ITERS", "100"))
+
             def make_cnot():
                 sc = presets.cnot_state()
                 # the preset's 3x300 ADMM budget fully unrolls in the
@@ -108,7 +110,7 @@ def main():
                     sc, config=dataclasses.replace(
                         sc.config,
                         qp_params=BoxQPParams(eps_abs=1e-8, eps_rel=1e-8,
-                                              max_iter=100, n_rounds=3)))
+                                              max_iter=cnot_iters, n_rounds=3)))
 
             run_case("cnot", make_cnot, min(batch, 64))
         except Exception:
