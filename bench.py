@@ -239,6 +239,14 @@ def main():
     #              lowerings are unimplemented; see CLAUDE.md)
     on_cpu = os.environ.get("BENCH_DEVICE") == "cpu"
     path = os.environ.get("BENCH_PATH", "scan" if on_cpu else "hostloop")
+    # hostloop knobs, computed ONCE and reused by the JSON report below so
+    # the recorded config can never drift from what actually ran
+    qp_impl = os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
+    plant_impl = os.environ.get("BENCH_PLANT_IMPL", "xla" if on_cpu else "pallas")
+    gran = os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "mixed")
+    # 3 steady steps per dispatch: the sweep optimum (probe_tpu_fuse.py;
+    # k=1 is dispatch-latency-bound, k=6 regresses)
+    fuse = int(os.environ.get("BENCH_FUSE", "1" if on_cpu else "3"))
 
     if path == "hostloop":
         from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
@@ -254,12 +262,6 @@ def main():
         # Together: ~2800 vs ~2100 rollouts/s for the all-XLA sqp-granular
         # form. On failure the exception path retries with the XLA/sqp
         # round-1-proven form before falling to CPU.
-        qp_impl = os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
-        plant_impl = os.environ.get("BENCH_PLANT_IMPL", "xla" if on_cpu else "pallas")
-        gran = os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "mixed")
-        # 3 steady steps per dispatch: the sweep optimum (probe_tpu_fuse.py;
-        # k=1 is dispatch-latency-bound, k=6 regresses)
-        fuse = int(os.environ.get("BENCH_FUSE", "1" if on_cpu else "3"))
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
                             qp_backend="ns", qp_params=BoxQPParams(max_iter=20, n_rounds=3))
         runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
@@ -325,12 +327,9 @@ def main():
         "batch": batch,
         "device": str(device),
         "engine_path": path,
-        "qp_impl": (os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
-                    if path == "hostloop" else "xla"),
-        "plant_impl": (os.environ.get("BENCH_PLANT_IMPL", "xla" if on_cpu else "pallas")
-                       if path == "hostloop" else "xla"),
-        "granularity": (os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "mixed")
-                        if path == "hostloop" else "-"),
+        "qp_impl": qp_impl if path == "hostloop" else "xla",
+        "plant_impl": plant_impl if path == "hostloop" else "xla",
+        "granularity": gran if path == "hostloop" else "-",
         "fidelity_mean": round(fid_mean, 5),
         "completed_frac": completed,
         "baseline_cpu_s_per_rollout": round(cpu_s, 3),
@@ -369,9 +368,14 @@ if __name__ == "__main__":
         if os.environ.get("BENCH_DEVICE") == "cpu" or os.environ.get("BENCH_NO_FALLBACK"):
             raise
         traceback.print_exc(file=sys.stderr)
-        if os.environ.get("BENCH_QP_IMPL", "pallas") == "pallas":
+        used_pallas_hostloop = (
+            os.environ.get("BENCH_PATH", "hostloop") == "hostloop"
+            and os.environ.get("BENCH_QP_IMPL", "pallas") == "pallas")
+        if used_pallas_hostloop:
             # staged fallback: first retry on the TPU with the all-XLA
-            # sqp-granular form (the round-1-proven path), then CPU
+            # sqp-granular form (the round-1-proven path), then CPU. Only
+            # when the failed run actually used the pallas hostloop path -
+            # a scan-path failure would just repeat identically.
             print(f"[bench] TPU pallas path failed ({type(e).__name__}); "
                   "retrying with the XLA/sqp form", file=sys.stderr, flush=True)
             env = dict(os.environ, BENCH_QP_IMPL="xla", BENCH_PLANT_IMPL="xla",

@@ -91,16 +91,21 @@ class HostLoopMPC:
         so it applies when run(record=False); recorded runs fall back to
         per-step programs.
         :param qp_impl: "xla" = the QP solves inside the lane vmap
-        (config.qp_backend selects chol/ns); "pallas" = per-lane assembly is
-        vmapped but the whole fleet's box QPs are solved by ONE call to the
-        lane-batched Pallas ADMM kernel (ops/pallas_qp.py) per SQP iteration
-        - the fused hot-kernel path ("sqp" granularity only).
+        (config.qp_backend selects chol/ns; config.solver selects qp/lqr);
+        "pallas" = per-lane assembly is vmapped but the whole fleet's box
+        QPs are solved by ONE call to the lane-batched Pallas ADMM kernel
+        (ops/pallas_qp.py) per SQP iteration - the fused hot-kernel path,
+        available at every granularity (requires config.solver="qp").
         :param plant_impl: "xla" = per-lane `plant_step_fn` inside the
         advance vmap; "pallas" = the fleet's one-step propagators
         U_b = expm(-i dt H_b(u_b)) computed by ONE call to the lane-batched
         Pallas expm kernel (ops/pallas_expm.py), applied per lane as
         rho' = U rho U^H - requires a QuantumPlant-shaped plant (H0/H1s)
         and replaces `plant_step_fn` with the exact ZOH step."""
+        if qp_impl == "pallas" and config.solver != "qp":
+            raise ValueError(
+                "qp_impl='pallas' runs the condensed box-QP kernel and cannot "
+                f"honor config.solver={config.solver!r}; use qp_impl='xla'")
         self.config = config
         self.sat = sat
         self.du = du
@@ -235,9 +240,12 @@ class HostLoopMPC:
                              jnp.asarray(Xt, Q.dtype), jnp.asarray(Ut), Q_s, R_s)
             return resplit(out)
 
-        def make_step(mk, k: int = 1):
-            """Fused k-step program: k full SQP+advance step bodies in one
-            dispatch (k=1 is the single fused whole-step)."""
+        def make_step(mk, n_iters: int, k: int = 1):
+            """Fused k-step program on the XLA QP path: k repetitions of
+            (sqp_init + n_iters vmapped SQP iterations + advance) in one
+            dispatch. Built from the same pieces as the per-program path -
+            including do_advance, so plant_impl="pallas" is honored here
+            too."""
             def prog(carry_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
                 carry = merge_cx(carry_s)
                 plants = merge_cx(plants_s)
@@ -251,11 +259,14 @@ class HostLoopMPC:
                 Utc = jnp.asarray(Ut)
                 outs = None
                 for j in range(k):
-                    def one(c, p, m, j=j):
-                        return step_fn(c, step + j, p, m, Xtc, Utc)
-
-                    carry, model, outs = jax.vmap(one, in_axes=(0, 0, 0))(
-                        carry, plants, model)
+                    stp = step + j
+                    s = jax.vmap(step_fn.sqp_init)(carry)
+                    for _ in range(n_iters):
+                        s = jax.vmap(
+                            lambda c, si, p, m: step_fn.sqp_iter(si, c, stp, p, m, Xtc, Utc),
+                            in_axes=(0, 0, 0, 0))(carry, s, plants, model)
+                    carry, model, outs = do_advance(carry, s, stp, plants, model,
+                                                    Xtc, Utc, Q_s, R_s)
                 return resplit((carry, model, outs))
             return jax.jit(prog)
 
@@ -398,12 +409,13 @@ class HostLoopMPC:
                         self._mk_warm, single_shot=False,
                         n_iters=self.warm_sqp_iters)
             else:
-                progs["step_steady"] = make_step(self._mk_steady)
+                progs["step_steady"] = make_step(self._mk_steady, n_iters=1)
                 if self.steady_fuse > 1:
-                    progs["step_steady_k"] = make_step(self._mk_steady,
+                    progs["step_steady_k"] = make_step(self._mk_steady, n_iters=1,
                                                        k=self.steady_fuse)
                 if self.granularity == "step":
-                    progs["step_warm"] = make_step(self._mk_warm)
+                    progs["step_warm"] = make_step(self._mk_warm,
+                                                   n_iters=self.warm_sqp_iters)
         return progs
 
     def run(self, x0, model_state, plants, X_targ, U_targ, Q, R, Qf, keys,

@@ -51,13 +51,15 @@ def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, x_ref, aux_ref, *,
     lb = [row(lb_ref, i) for i in range(n)]
     ub = [row(ub_ref, i) for i in range(n)]
 
-    # rho per lane: rho_scale * mean(diag P)  (solvers/boxqp.py:207-208)
+    # rho per lane: rho_scale * mean(diag P), exactly as the XLA path
+    # (solvers/boxqp.py:207-208; no extra floor - parity requires identical
+    # iterates)
     diag_sum = None
     for i in range(n):
         d = P[i * n + i]
         diag_sum = d if diag_sum is None else diag_sum + d
     diag_scale = jnp.maximum(diag_sum / float(n), 1e-12)
-    rho = jnp.maximum(rho_scale * diag_scale, 1e-8)
+    rho = rho_scale * diag_scale
 
     def inverse_of_K(rho):
         """[K | I] -> [I | K^-1] by unpivoted Gauss-Jordan, K = P+(sigma+rho)I."""
@@ -177,6 +179,9 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
         (solutions, BoxQPPallasAux) pair for acceptance checks.
     """
     P = jnp.asarray(P, jnp.float32)
+    # symmetrize like the XLA path (solvers/boxqp.py:203) so iterates and
+    # residuals agree for not-exactly-symmetric inputs
+    P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
     B, n, _ = P.shape
     S = sublanes
     # packed width W (lanes) and padded batch Bp = S * W; batch element

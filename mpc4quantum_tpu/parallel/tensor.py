@@ -53,7 +53,11 @@ def row_sharded_predict(mesh: Mesh, A, lift_x, lift_ux, axis_name: str = "op"):
     :param lift_ux: (dim_x * (L - 1),) control-state Khatri-Rao lift.
     :return: (dim_x,) next lifted state, fully replicated on exit.
     """
-    dim_x = lift_x.shape[0]
+    n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    if lift_x.shape[0] % n_shards != 0:
+        raise ValueError(
+            f"dim_x={lift_x.shape[0]} not divisible by the '{axis_name}' "
+            f"axis size {n_shards}")
 
     def fn(A_blk, x, ux):
         z = jnp.concatenate([x, ux])

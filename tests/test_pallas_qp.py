@@ -66,8 +66,9 @@ def _admm_mirror(P, q, lb, ub, x0=None, iters=100, rounds=2, rho_scale=0.1,
     Gauss-Jordan inverse + warm-started fixed-iteration relaxed ADMM with
     rho rebalanced between rounds)."""
     n = P.shape[0]
+    P = 0.5 * (P + P.T)
     diag_scale = max(np.trace(P) / n, 1e-12)
-    rho = max(rho_scale * diag_scale, 1e-8)
+    rho = rho_scale * diag_scale
     x = np.clip(np.zeros(n) if x0 is None else x0, lb, ub)
     z = x.copy()
     y = np.zeros(n)
