@@ -433,3 +433,16 @@ def test_real_embedded_mode_matches_complex():
     # a real pulse was commanded and tracking is under way (non-vacuous)
     assert np.max(np.abs(np.asarray(res_e.us))) > 0.01
     assert float(xf_e[3].real) > 0.5
+
+
+def test_hostloop_pallas_qp_rejects_lqr_solver():
+    """qp_impl='pallas' cannot honor solver='lqr' - must raise, not silently
+    run the box-QP kernel."""
+    import dataclasses
+    import pytest
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    cfg = dataclasses.replace(config, solver="lqr")
+    with pytest.raises(ValueError, match="pallas"):
+        HostLoopMPC(cfg, sat, du=du, qp_impl="pallas")
