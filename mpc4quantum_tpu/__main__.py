@@ -23,6 +23,10 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("--solver", choices=["qp", "lqr"], default=None)
+    parser.add_argument("--hostloop", action="store_true",
+                        help="with --batch: run the fleet through the host-driven "
+                             "TPU engine (mpc/hostloop.py) with the tuned kernel "
+                             "defaults - the production path on the axon backend")
     args = parser.parse_args(argv)
 
     import jax
@@ -45,13 +49,62 @@ def main(argv=None):
     kwargs = {}
     if args.order is not None:
         kwargs["order"] = args.order
-    sc = build(**kwargs)
+    # scenario construction runs eager complex jnp ops - keep it off the
+    # TPU device (complex transfers are unimplemented on the axon backend)
+    with jax.default_device(jax.devices("cpu")[0]):
+        sc = build(**kwargs)
     if args.solver is not None:
         sc = dataclasses.replace(sc, config=dataclasses.replace(sc.config, solver=args.solver))
 
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
-    if args.batch > 0:
+    if args.batch > 0 and args.hostloop:
+        from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+        from mpc4quantum_tpu.parallel.fleet import make_scenario_batch
+        from mpc4quantum_tpu.plants.quantum import QuantumPlant, quantum_step_taylor
+        from mpc4quantum_tpu.plants.synthesis import SynthesisPlant, synthesis_step_taylor
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            plants, keys = make_scenario_batch(key, sc.plant, args.batch,
+                                               detune_scale=0.01)
+            plants = jax.tree.map(np.asarray, plants)
+            keys = np.asarray(keys)
+            npize = lambda t: jax.tree.map(np.asarray, t)
+            model_np, Xt, Ut = npize(sc.model), np.asarray(sc.X_targ), np.asarray(sc.U_targ)
+            Qn, Rn, Qfn = np.asarray(sc.Q), np.asarray(sc.R), np.asarray(sc.Qf)
+
+        is_quantum = isinstance(sc.plant, QuantumPlant)
+        step_fn = (quantum_step_taylor if is_quantum
+                   else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
+                   else sc.plant_step_fn)
+        cfg = dataclasses.replace(sc.config, qp_backend="ns")
+        n_qp = cfg.horizon * cfg.dim_u
+        runner = HostLoopMPC(
+            cfg, sc.sat, du=sc.du, plant_step_fn=step_fn,
+            lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
+            exit_condition=sc.exit_condition,
+            warm_sqp_iters=8, granularity="mixed", steady_fuse=3,
+            # the fully-unrolled QP kernel is built for small n = H*dim_u;
+            # kernels need real TPU hardware (interpret mode is test-only)
+            qp_impl=("pallas" if (not args.cpu and cfg.solver == "qp"
+                                  and n_qp <= 16) else "xla"),
+            plant_impl="pallas" if (not args.cpu and is_quantum) else "xla",
+        )
+        t0 = time.time()
+        res_h = runner.run(sc.x0, model_np, plants, Xt, Ut, Qn, Rn, Qfn, keys,
+                           record=False)
+        elapsed = time.time() - t0
+        fid = np.real(res_h["final_x"] @ np.conj(sc.target_state))
+        codes = res_h["exit_code"]
+        out = {
+            "preset": sc.name, "batch": args.batch, "engine": "hostloop",
+            "elapsed_s": round(elapsed, 3),
+            "rollouts_per_s": round(args.batch / elapsed, 2),
+            "fidelity_mean": round(float(fid.mean()), 5),
+            "fidelity_min": round(float(fid.min()), 5),
+            "completed_frac": round(float(((codes == 0) | (codes == 1)).mean()), 3),
+        }
+    elif args.batch > 0:
         from mpc4quantum_tpu.parallel.fleet import make_scenario_batch, batched_mpc, fleet_summary
 
         plants, keys = make_scenario_batch(key, sc.plant, args.batch, detune_scale=0.01)

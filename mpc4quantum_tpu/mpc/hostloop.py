@@ -100,8 +100,10 @@ class HostLoopMPC:
         advance vmap; "pallas" = the fleet's one-step propagators
         U_b = expm(-i dt H_b(u_b)) computed by ONE call to the lane-batched
         Pallas expm kernel (ops/pallas_expm.py), applied per lane as
-        rho' = U rho U^H - requires a QuantumPlant-shaped plant (H0/H1s)
-        and replaces `plant_step_fn` with the exact ZOH step."""
+        rho' = U rho U^H. Requires a QuantumPlant (H0/H1s fields AND
+        density-matrix conjugation step semantics - NOT valid for e.g.
+        SynthesisPlant, whose step is kron(U, U*) on a process state);
+        replaces `plant_step_fn` with the exact ZOH step."""
         if qp_impl == "pallas" and config.solver != "qp":
             raise ValueError(
                 "qp_impl='pallas' runs the condensed box-QP kernel and cannot "
