@@ -59,22 +59,25 @@ def main():
                              qp_params=BoxQPParams(max_iter=20, n_rounds=3))
 
     if "stream" in cases:
-        try:
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                m0 = online_from_bootstrap(jnp.asarray(np.asarray(model.A)), 4, 4,
-                                           model.A.shape[1] - 4, alpha=1e2)
-                m0 = jax.tree.map(np.asarray, m0)
-            cfg = dataclasses.replace(base_cfg, streaming=True)
-            runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
-                                 model_update_fn=online_fit_iteration,
-                                 warm_sqp_iters=8, granularity="mixed",
-                                 qp_impl="pallas", plant_impl="pallas")
-            report("stream-rls", runner, rho0, m0, plants, keys,
-                   X_targ, U_targ, Q, R, check_model_moved=np.asarray(m0.A))
-        except Exception:
-            print("[stream] FAIL", flush=True)
-            traceback.print_exc()
+        alphas = [float(a) for a in
+                  os.environ.get("PR_ALPHAS", "1e2").split(",")]
+        for alpha in alphas:
+            try:
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    m0 = online_from_bootstrap(jnp.asarray(np.asarray(model.A)), 4, 4,
+                                               model.A.shape[1] - 4, alpha=alpha)
+                    m0 = jax.tree.map(np.asarray, m0)
+                cfg = dataclasses.replace(base_cfg, streaming=True)
+                runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
+                                     model_update_fn=online_fit_iteration,
+                                     warm_sqp_iters=8, granularity="mixed",
+                                     qp_impl="pallas", plant_impl="pallas")
+                report(f"stream-rls a={alpha:g}", runner, rho0, m0, plants, keys,
+                       X_targ, U_targ, Q, R, check_model_moved=np.asarray(m0.A))
+            except Exception:
+                print(f"[stream a={alpha:g}] FAIL", flush=True)
+                traceback.print_exc()
 
     if "eops" in cases:
         try:

@@ -51,6 +51,14 @@ class QuantumPlant:
     `e_dual` its pseudo-inverse dual frame, used to re-seed the model from
     observations (exact when the operator list is informationally complete,
     least-squares otherwise).
+
+    Reference `QExperiment.set(key, val)` (experiment.py:196-200) is a
+    mutable passthrough of qutip.mesolve kwargs; this plant has no ODE
+    solver (propagation is exact ZOH expm), so the only physically
+    meaningful settings - `sigma`, `e_ops` - are constructor arguments, and
+    reconfiguration is `plant.replace(...)` / `QuantumPlant.create(...)`
+    (plants are immutable pytrees: per-lane variants are data, which is
+    what lets a fleet carry thousands of differently-configured plants).
     """
 
     H0: jnp.ndarray  # (d, d)
