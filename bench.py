@@ -254,7 +254,7 @@ def main():
         from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
 
         # measured config (round-2 sweep, experiments/probe_tpu_budget.py):
-        # 3x20 rho-rebalanced ADMM + 8 warm SQP iterations holds fleet
+        # 3x15 rho-rebalanced ADMM + 8 warm SQP iterations holds fleet
         # fidelity 0.9993 with zero QP failures; qp_impl="pallas" solves the
         # whole fleet's QPs in one fused lane-batched kernel call per SQP
         # iteration, plant_impl="pallas" batch-expms the fleet's propagators,
@@ -263,7 +263,7 @@ def main():
         # form. On failure the exception path retries with the XLA/sqp
         # round-1-proven form before falling to CPU.
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
-                            qp_backend="ns", qp_params=BoxQPParams(max_iter=20, n_rounds=3))
+                            qp_backend="ns", qp_params=BoxQPParams(max_iter=15, n_rounds=3))
         runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
                              warm_sqp_iters=8, qp_impl=qp_impl, plant_impl=plant_impl,
                              granularity=gran, steady_fuse=fuse)
