@@ -446,3 +446,38 @@ def test_hostloop_pallas_qp_rejects_lqr_solver():
     cfg = dataclasses.replace(config, solver="lqr")
     with pytest.raises(ValueError, match="pallas"):
         HostLoopMPC(cfg, sat, du=du, qp_impl="pallas")
+
+
+import os as _os
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(not _os.environ.get("RUN_SLOW"),
+                     reason="~4.5 min gate-synthesis hostloop run; set RUN_SLOW=1")
+def test_hostloop_gate_synthesis_exit_condition():
+    """Gate synthesis through the host-loop driver: per-lane exit_condition
+    (process cost < 1e-2, reference test_mpc4quantum.py:93-94) must fire
+    (code 1) and freeze the lane - the early-exit machinery on the
+    production driver form. (On-chip confirmation: all 128 lanes exit in
+    experiments/probe_tpu_presets.py 'gate'.)"""
+    import dataclasses
+    from mpc4quantum_tpu import presets
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+    from mpc4quantum_tpu.plants.synthesis import synthesis_step_taylor
+    from mpc4quantum_tpu.parallel.fleet import make_scenario_batch
+
+    sc = presets.not_gate(n_steps=90)
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), sc.plant, 2,
+                                       detune_scale=0.001)
+    cfg = dataclasses.replace(sc.config, qp_backend="ns")
+    r = HostLoopMPC(cfg, sc.sat, du=sc.du, plant_step_fn=synthesis_step_taylor,
+                    lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
+                    exit_condition=sc.exit_condition,
+                    warm_sqp_iters=6, granularity="mixed")
+    out = r.run(sc.x0, sc.model, plants, sc.X_targ, sc.U_targ,
+                sc.Q, sc.R, sc.Qf, keys)
+    assert np.all(out["exit_code"] == 1), out["exit_code"]
+    assert np.all(out["n_valid"] < cfg.n_steps)
+    # process overlap Re<P_targ, P> reaches ~4 (= tr(I_4), perfect gate)
+    fid = np.real(out["final_x"] @ np.conj(sc.target_state))
+    assert np.all(fid > 3.96), fid
