@@ -253,7 +253,8 @@ def main():
         from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
         from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
 
-        # measured config (round-2 sweep, experiments/probe_tpu_budget.py):
+        # measured config (round-2 sweeps, experiments/probe_tpu_budget.py +
+        # probe_tpu_budget2.py, which selected 3x15):
         # 3x15 rho-rebalanced ADMM + 8 warm SQP iterations holds fleet
         # fidelity 0.9993 with zero QP failures; qp_impl="pallas" solves the
         # whole fleet's QPs in one fused lane-batched kernel call per SQP

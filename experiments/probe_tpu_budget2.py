@@ -1,6 +1,12 @@
 """TPU probe S: shorter ADMM budgets under the full tuned config (mixed +
 fuse3 + both kernels, B=8192) - how low can the iteration count go before
 acceptance failures appear? Env: PS_BATCH (8192).
+
+Caveat (CLAUDE.md): a backend EXECUTION error can wedge the process, making
+later cases in the sweep fail spuriously - results after a traceback-FAIL
+case are untrustworthy and the sweep should be re-run one case per process.
+(Acceptance failures - fails=N with clean exit codes - are data, not
+backend errors, and do not wedge.)
 """
 import os, sys, time, traceback
 import numpy as np

@@ -28,6 +28,8 @@ def main(argv=None):
                              "TPU engine (mpc/hostloop.py) with the tuned kernel "
                              "defaults - the production path on the axon backend")
     args = parser.parse_args(argv)
+    if args.hostloop and args.batch <= 0:
+        parser.error("--hostloop requires --batch N (it is the fleet engine)")
 
     import jax
 
@@ -79,6 +81,14 @@ def main(argv=None):
                    else sc.plant_step_fn)
         cfg = dataclasses.replace(sc.config, qp_backend="ns")
         n_qp = cfg.horizon * cfg.dim_u
+        if n_qp <= 16:
+            # the tuned fixed-iteration budget (probe_tpu_budget2.py);
+            # larger-n presets keep their own qp_params (e.g. cnot_state's
+            # tightened targets) - their unrolled solves compile longer
+            from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+
+            cfg = dataclasses.replace(cfg, qp_params=BoxQPParams(max_iter=15,
+                                                                 n_rounds=3))
         runner = HostLoopMPC(
             cfg, sc.sat, du=sc.du, plant_step_fn=step_fn,
             lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,

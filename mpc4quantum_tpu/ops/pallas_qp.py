@@ -206,7 +206,9 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     ub_in = pack(jnp.full((n, Bp), 1.0, jnp.float32).at[:, :B].set(
         jnp.asarray(ub, jnp.float32).T))
     x0_in = pack(jnp.zeros((n, Bp), jnp.float32) if x0 is None else pad(x0, n))
-    # padded P lanes are zero -> K = (sigma+rho_min) I, benign
+    # padded P lanes are zero with q = x0 = 0 -> K = (sigma + rho_pad) I
+    # with rho_pad = rho_scale * 1e-12 (diag_scale floor): x/z/y stay
+    # exactly 0 through every iteration - benign
 
     kernel = functools.partial(_qp_kernel, n=n, iters=iters, rounds=rounds,
                                rho_scale=rho_scale, sigma=sigma, alpha=alpha,

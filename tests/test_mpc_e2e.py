@@ -448,12 +448,15 @@ def test_hostloop_pallas_qp_rejects_lqr_solver():
         HostLoopMPC(cfg, sat, du=du, qp_impl="pallas")
 
 
-import os as _os
-import pytest as _pytest
+def _slow_mark():
+    import os
+    import pytest
+
+    return pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                              reason="~4 min gate-synthesis hostloop run; set RUN_SLOW=1")
 
 
-@_pytest.mark.skipif(not _os.environ.get("RUN_SLOW"),
-                     reason="~4.5 min gate-synthesis hostloop run; set RUN_SLOW=1")
+@_slow_mark()
 def test_hostloop_gate_synthesis_exit_condition():
     """Gate synthesis through the host-loop driver: per-lane exit_condition
     (process cost < 1e-2, reference test_mpc4quantum.py:93-94) must fire
