@@ -243,7 +243,7 @@ def main():
     # the recorded config can never drift from what actually ran
     qp_impl = os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
     plant_impl = os.environ.get("BENCH_PLANT_IMPL", "xla" if on_cpu else "pallas")
-    gran = os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "mixed")
+    gran = os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "step")
     # 3 steady steps per dispatch: the sweep optimum (probe_tpu_fuse.py;
     # k=1 is dispatch-latency-bound, k=6 regresses)
     fuse = int(os.environ.get("BENCH_FUSE", "1" if on_cpu else "3"))
@@ -259,7 +259,8 @@ def main():
         # fidelity 0.9993 with zero QP failures; qp_impl="pallas" solves the
         # whole fleet's QPs in one fused lane-batched kernel call per SQP
         # iteration, plant_impl="pallas" batch-expms the fleet's propagators,
-        # granularity="mixed" fuses each steady step into ONE dispatch.
+        # granularity="step" fuses warm steps too (one dispatch each; probe T:
+        # 11.4k vs 10.4k r/s in-process vs "mixed").
         # Together: ~2800 vs ~2100 rollouts/s for the all-XLA sqp-granular
         # form. On failure the exception path retries with the XLA/sqp
         # round-1-proven form before falling to CPU.
