@@ -312,12 +312,18 @@ def test_hostloop_steady_fuse_matches_per_step():
     plants, keys = make_scenario_batch(jax.random.PRNGKey(0), plant, 2, detune_scale=0.01)
     cfg = dataclasses.replace(config, n_steps=7, qp_backend="ns",
                               qp_params=BoxQPParams(max_iter=30, n_rounds=2))
-    mk = lambda k: HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
-                               warm_sqp_iters=3, granularity="mixed", steady_fuse=k)
-    base = mk(1).run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys, record=False)
-    fuse = mk(3).run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys, record=False)
-    np.testing.assert_allclose(fuse["final_x"], base["final_x"], atol=1e-12)
-    np.testing.assert_array_equal(fuse["exit_code"], base["exit_code"])
+    mk = lambda k, g: HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
+                                  warm_sqp_iters=3, granularity=g, steady_fuse=k)
+    base = mk(1, "mixed").run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys,
+                              record=False)
+    fuse = mk(3, "mixed").run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys,
+                              record=False)
+    # the bench default: warm steps fused too
+    step = mk(3, "step").run(rho0, model, plants, X_targ, U_targ, Q, R, Qf, keys,
+                             record=False)
+    for out in (fuse, step):
+        np.testing.assert_allclose(out["final_x"], base["final_x"], atol=1e-12)
+        np.testing.assert_array_equal(out["exit_code"], base["exit_code"])
 
 
 def test_hostloop_matches_scan_with_nonidentity_lift():
