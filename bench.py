@@ -286,14 +286,19 @@ def main():
         rollouts_per_s = batch / best
         fid = np.real(out_h["final_x"] @ np.conj(targ))
         fid_mean = float(fid.mean())
-        completed = float((out_h["exit_code"] == 0).mean())
+        fid_min = float(fid.min())
+        # codes 0 AND 1 count as completed (1 = exit_condition met early),
+        # matching fleet_summary and the CLI's hostloop output
+        codes = out_h["exit_code"]
+        completed = float(((codes == 0) | (codes == 1)).mean())
     else:
         def run_fn(x0, model, plants, X_targ, U_targ, Q, R, keys, targ):
             res = batched_mpc(x0, model, plants, X_targ, U_targ, Q, R, Q,
                               config, SAT, du=DU, keys=keys)
             summ = fleet_summary(res, targ)
             # only real quantities cross the boundary back
-            return (res.us, summ["fidelity_mean"], summ["completed_frac"], res.n_valid)
+            return (res.us, summ["fidelity_mean"], summ["fidelity_min"],
+                    summ["completed_frac"], res.n_valid)
 
         run = cx_jit(run_fn)
         args = (rho0, model, plants, X_targ, U_targ, Q, R, keys, targ)
@@ -311,14 +316,22 @@ def main():
         best = min(times)
         rollouts_per_s = batch / best
 
-        us_batch, fid_mean, completed, n_valid = out
+        us_batch, fid_mean, fid_min, completed, n_valid = out
         fid_mean = float(fid_mean)
+        fid_min = float(fid_min)
         completed = float(completed)
 
-    # CPU baseline: sequential single-scenario rollouts
-    t0 = time.time()
-    fid_cpu = cpu_baseline_rollout()
-    cpu_s = time.time() - t0
+    # CPU baseline: sequential single-scenario rollouts. The single-rollout
+    # timing swung 2.7x between rounds (0.657 s vs 1.763 s, BENCH_r01 vs
+    # BENCH_r02 - same code, host load); take the MEDIAN of >= 5 rollouts and
+    # report the spread so the multiplier's denominator is visible.
+    base_reps = max(int(os.environ.get("BENCH_BASELINE_REPS", "5")), 1)
+    cpu_times = []
+    for _ in range(base_reps):
+        t0 = time.time()
+        fid_cpu = cpu_baseline_rollout()
+        cpu_times.append(time.time() - t0)
+    cpu_s = float(np.median(cpu_times))
     baseline_rollouts_per_s = 1.0 / cpu_s
 
     out = {
@@ -333,13 +346,21 @@ def main():
         "plant_impl": plant_impl if path == "hostloop" else "xla",
         "granularity": gran if path == "hostloop" else "-",
         "fidelity_mean": round(fid_mean, 5),
+        "fidelity_min": round(fid_min, 5),
         "completed_frac": completed,
+        "engine_rollouts_per_s": round(rollouts_per_s, 2),
+        "baseline_rollouts_per_s": round(baseline_rollouts_per_s, 4),
         "baseline_cpu_s_per_rollout": round(cpu_s, 3),
+        "baseline_cpu_s_spread": [round(min(cpu_times), 3), round(max(cpu_times), 3)],
         "baseline_cpu_fidelity": round(fid_cpu, 5),
         "compile_s": round(compile_s, 1),
         "qp_solves_per_s": round(rollouts_per_s * N_STEPS, 1),
     }
+    # quality gates: mean AND worst-lane fidelity AND completion - a fleet
+    # where a tail of lanes diverges must not "pass" on the mean
     assert fid_mean > 0.98, f"quality gate failed: fleet fidelity {fid_mean}"
+    assert fid_min > 0.95, f"quality gate failed: worst-lane fidelity {fid_min}"
+    assert completed >= 0.999, f"quality gate failed: completed_frac {completed}"
     assert fid_cpu > 0.98, f"baseline quality gate failed: {fid_cpu}"
     print(json.dumps(out))
 

@@ -49,6 +49,7 @@ from .models.dmdc import (
     with_history,
     history_update,
     history_snapshots,
+    history_p_snapshots,
     predict,
     get_discrete,
 )

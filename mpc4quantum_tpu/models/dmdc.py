@@ -256,19 +256,22 @@ def online_from_randn(key, dim_y, dim_x, dim_u, sigma=1.0, alpha=1e2, discount=1
 class HistoryState:
     """Model state wrapped with a fixed-capacity in-carry snapshot ring.
 
-    The reference records `iA` operator snapshots every `_isave=10` fit
-    iterations into a python list (reference model.py:132-135, 201-204) -
-    impossible inside `lax.scan`. Here the ring buffer `buf` lives in the
-    scan carry: slot writes are one-hot multiply-adds (no scatter - complex
-    scatter is unimplemented on some TPU backend paths), so streaming updates
-    inside the driver are observable afterwards. `buf[0]` is the initial
-    operator (reference `iA = [A0]`).
+    The reference records `iA` operator snapshots - and, for OnlineDMDc, the
+    RLS covariance `iP` - every `_isave=10` fit iterations into python lists
+    (reference model.py:132-135, 201-204, 308-310) - impossible inside
+    `lax.scan`. Here the ring buffer `buf` lives in the scan carry: slot
+    writes are one-hot multiply-adds (no scatter - complex scatter is
+    unimplemented on some TPU backend paths), so streaming updates inside the
+    driver are observable afterwards. `buf[0]` is the initial operator
+    (reference `iA = [A0]`). When the wrapped model exposes `.P` (OnlineDMDc),
+    `pbuf` rings the RLS state on the same cadence (reference `iP`).
     """
 
     inner: object            # the wrapped model pytree (must expose .A)
     buf: jnp.ndarray         # (n_slots, dim_y, dim_z) snapshot ring
     n_recorded: jnp.ndarray  # () int32: total snapshots taken (may exceed n_slots)
     it: jnp.ndarray          # () int32: fit iterations seen
+    pbuf: object = None      # (n_slots, dim_z, dim_z) RLS-P ring, or None
     every: int = struct.field(pytree_node=False, default=10)
 
     @property
@@ -277,14 +280,23 @@ class HistoryState:
 
 
 def with_history(model_state, n_slots: int, every: int = 10) -> HistoryState:
-    """Wrap a model state so streaming updates record `A` snapshots in-carry.
+    """Wrap a model state so streaming updates record `A` snapshots (and `P`
+    snapshots, when the model has an RLS state) in-carry.
 
     Use with `history_update(update_fn)` as the driver's `model_update_fn`.
     """
-    A0 = model_state.A
-    buf = jnp.zeros((n_slots,) + A0.shape, A0.dtype)
-    buf = jnp.concatenate([A0[None], buf[1:]], axis=0)  # iA = [A0]
-    return HistoryState(inner=model_state, buf=buf,
+    if n_slots < 2:
+        raise ValueError(
+            f"n_slots={n_slots}: need >= 2 (slot 0 permanently holds A0, the "
+            "remaining slots ring the cadenced snapshots - with one slot the "
+            "ring is empty and the slot arithmetic divides by zero)")
+
+    def ring0(M0):
+        buf = jnp.zeros((n_slots,) + M0.shape, M0.dtype)
+        return jnp.concatenate([M0[None], buf[1:]], axis=0)  # i* = [M0]
+
+    pbuf = ring0(model_state.P) if hasattr(model_state, "P") else None
+    return HistoryState(inner=model_state, buf=ring0(model_state.A), pbuf=pbuf,
                         n_recorded=jnp.asarray(1, jnp.int32),
                         it=jnp.asarray(0, jnp.int32), every=every)
 
@@ -300,31 +312,48 @@ def history_update(update_fn):
         # slot 0 holds A0 permanently; writes k = 1, 2, ... ring over the
         # remaining n_slots-1 slots: slot(k) = 1 + (k-1) % (n_slots-1)
         slot = 1 + jnp.mod(h.n_recorded - 1, n_slots - 1)
-        sel = jnp.where(take, (jnp.arange(n_slots) == slot).astype(h.buf.real.dtype), 0.0)
-        sel = sel.reshape((n_slots,) + (1,) * (h.buf.ndim - 1))
-        buf = h.buf * (1.0 - sel) + sel * inner.A[None]
-        return h.replace(inner=inner, buf=buf, it=it,
-                         n_recorded=h.n_recorded + take.astype(jnp.int32))
+
+        def write(buf, M):
+            sel = jnp.where(take, (jnp.arange(n_slots) == slot).astype(buf.real.dtype), 0.0)
+            sel = sel.reshape((n_slots,) + (1,) * (buf.ndim - 1))
+            return buf * (1.0 - sel) + sel * M[None]
+
+        pbuf = write(h.pbuf, inner.P) if h.pbuf is not None else None
+        return h.replace(inner=inner, buf=write(h.buf, inner.A), pbuf=pbuf,
+                         it=it, n_recorded=h.n_recorded + take.astype(jnp.int32))
 
     return fn
 
 
-def history_snapshots(h: HistoryState):
-    """Host-side: the recorded snapshots in chronological order (numpy list).
-
-    If the ring wrapped, the oldest snapshots beyond capacity are gone;
-    `buf[0]` (the initial A0) is always kept."""
+def _ring_read(buf, n):
+    """The surviving writes of a slot-0-pinned ring, chronological order."""
     import numpy as np
 
-    n_slots = h.buf.shape[0]
-    n = int(h.n_recorded)  # total writes: A0 plus n-1 cadenced snapshots
-    buf = np.asarray(h.buf)
+    n_slots = buf.shape[0]
+    buf = np.asarray(buf)
     if n <= n_slots:
         return [buf[i] for i in range(n)]
-    # ring wrapped: the surviving writes are A0 and the last n_slots-1;
+    # ring wrapped: the surviving writes are slot 0's and the last n_slots-1;
     # write k (k >= 1) lives at slot 1 + (k-1) % (n_slots-1)
     ks = range(n - (n_slots - 1), n)
     return [buf[0]] + [buf[1 + (k - 1) % (n_slots - 1)] for k in ks]
+
+
+def history_snapshots(h: HistoryState):
+    """Host-side: the recorded `A` snapshots in chronological order (numpy
+    list; reference `iA`). If the ring wrapped, the oldest snapshots beyond
+    capacity are gone; `buf[0]` (the initial A0) is always kept."""
+    return _ring_read(h.buf, int(h.n_recorded))
+
+
+def history_p_snapshots(h: HistoryState):
+    """Host-side: the recorded RLS `P` snapshots in chronological order
+    (reference `iP`, model.py:308-310). Same cadence/wrap semantics as
+    `history_snapshots`; requires the wrapped model to expose `.P`."""
+    if h.pbuf is None:
+        raise ValueError("wrapped model has no RLS state P (pbuf is None); "
+                         "iP history exists only for OnlineDMDc-style models")
+    return _ring_read(h.pbuf, int(h.n_recorded))
 
 
 def online_fit_iteration(m: OnlineDMDc, next_y, next_x, next_u) -> OnlineDMDc:

@@ -16,7 +16,14 @@ boundary, so no complex dtype ever crosses host<->device - see utils/cxio).
 Steps 0..1 run `warm_sqp_iters` masked iterations (the reference's
 line-searched IQP, mpc.py:208-225); steps >= 2 run the single-shot QP
 (warm-start collapse, reference mpc.py:208-212). Composed from the same
-`make_mpc_step` pieces as the scan driver, so semantics are identical.
+`make_mpc_step` pieces as the scan driver; the one deliberate approximation
+is that warm steps run a FIXED budget of `warm_sqp_iters` masked SQP
+iterations instead of the scan driver's run-to-convergence while_loop
+(config.max_iter cap, default 100) - equivalent whenever warm steps
+converge within the budget (they do on every preset at the default 12;
+equivalence asserted lane-for-lane in tests/test_mpc_e2e.py), and a
+truncated-but-feasible solve otherwise. Raise `warm_sqp_iters` toward
+config.max_iter to recover exact scan-driver semantics at higher cost.
 
 Intended pairing: config.qp_backend="ns" + quantum_step_taylor, making each
 program a flat chain of batched matmuls (no Cholesky/LU/while) - the form
@@ -108,6 +115,11 @@ class HostLoopMPC:
             raise ValueError(
                 "qp_impl='pallas' runs the condensed box-QP kernel and cannot "
                 f"honor config.solver={config.solver!r}; use qp_impl='xla'")
+        if granularity not in ("sqp", "step", "mixed"):
+            raise ValueError(
+                f"granularity={granularity!r} is not one of 'sqp'/'step'/'mixed' "
+                "- a typo here would silently run (and record) the wrong engine "
+                "configuration")
         self.config = config
         self.sat = sat
         self.du = du
@@ -428,8 +440,10 @@ class HostLoopMPC:
         :param plants: stacked plant pytree with leading batch axis B.
         :param keys: (B, 2) per-lane PRNG keys.
         :return: dict with final_x (B, dim_e) complex, exit_code (B,),
-            us ((B, dim_u, n_steps) if record), objs, sqp_iters, n_valid,
-            model_state (final).
+            and - when record=True - the reference's full [xs, us] contract
+            (reference mpc.py:294-304): xs (B, dim_e, n_steps+1) per-step
+            states including x0, us (B, dim_u, n_steps), plus objs,
+            sqp_iters, n_valid, model_state (final).
         """
         cfg = self.config
         B = int(jax.tree.leaves(plants)[0].shape[0])
@@ -510,10 +524,16 @@ class HostLoopMPC:
             "model_state": merge_cx(jax.tree.map(np.asarray, model_s)),
         }
         if record:
+            # per-step states: each advance's outs[0] (x after the step, the
+            # same quantity the scan driver records), prepended with x0 -
+            # the reference's xs contract (reference mpc.py:294-304)
+            fetch_x = lambda o: (np.asarray(o.re) + 1j * np.asarray(o.im)
+                                 if isinstance(o, CxPair) else np.asarray(o))
+            xs = np.stack([x0] + [fetch_x(o[0]) for o in per_step], axis=2)
             us = np.stack([np.asarray(o[1]) for o in per_step], axis=2)  # (B, dim_u, n)
             objs = np.stack([np.asarray(o[2]) for o in per_step], axis=1)
             iters = np.stack([fetch_i(o[3]) for o in per_step], axis=1)
             active = np.stack([fetch_i(o[4]) for o in per_step], axis=1)
-            out.update(us=us, objs=objs, sqp_iters=iters,
+            out.update(xs=xs, us=us, objs=objs, sqp_iters=iters,
                        n_valid=active.astype(np.int32).sum(axis=1))
         return out

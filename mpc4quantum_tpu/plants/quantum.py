@@ -185,19 +185,44 @@ def quantum_step(plant: QuantumPlant, rho_vec, u, dt):
     return (U @ rho @ U.conj().T).reshape(-1)
 
 
-def quantum_step_taylor(plant: QuantumPlant, rho_vec, u, dt):
+def quantum_step_taylor(plant: QuantumPlant, rho_vec, u, dt,
+                        fixed_squarings: int = 4):
     """quantum_step with the matmul-only Taylor expm (no LU solve and no
-    loop primitive in the graph): identical to machine precision for
-    ||dt*H|| <= 16, and the form that batches over scenario lanes on the TPU
-    (batched LU lowerings are unavailable there)."""
+    loop primitive in the graph): identical to machine precision while
+    ||dt*H||_1 <= 2^fixed_squarings (= 16 at the default), and the form that
+    batches over scenario lanes on the TPU (batched LU lowerings are
+    unavailable there).
+
+    The accuracy bound is the caller's responsibility - there is no runtime
+    norm check (a check would put data-dependent control flow back into the
+    batched graph). Every preset satisfies it with a wide margin (the largest
+    is cnot_state at ||dt*H||_1 ~ 1.6); for plants with much larger
+    detune/control scales, check ||dt*H||_1 host-side when building the fleet
+    (see `taylor_norm_bound`) and raise `fixed_squarings` accordingly - each
+    +1 doubles the norm bound for one extra matmul."""
     d = plant.dim_s
     # generator assembled with an elementwise multiply-add (dim_u is tiny;
     # a real-u contraction against complex H1s would be a cast-fed dot)
     uv = jnp.asarray(u).reshape(-1)
     H = plant.H0 + jnp.sum(uv[:, None, None] * plant.H1s, axis=0)
-    U = expm_taylor((-1j * dt) * H, fixed_squarings=4)
+    U = expm_taylor((-1j * dt) * H, fixed_squarings=fixed_squarings)
     rho = rho_vec.reshape(d, d)
     return (U @ rho @ U.conj().T).reshape(-1)
+
+
+def taylor_norm_bound(plant, dt, sat) -> float:
+    """Host-side worst-case ||dt*H(u)||_1 over the control box |u| <= sat.
+
+    Cheap eager check for sizing `fixed_squarings` in the *_taylor steps:
+    the fixed-squaring Taylor expm is accurate while this bound stays under
+    2^fixed_squarings. Call when constructing a plant batch for the hostloop
+    driver / bench / CLI (which pick the Taylor step functions)."""
+    import numpy as np
+
+    one_norm = lambda M: float(np.max(np.sum(np.abs(np.asarray(M)), axis=-2)))
+    sat_v = np.broadcast_to(np.asarray(sat, float), (plant.H1s.shape[0],))
+    return abs(float(dt)) * (one_norm(plant.H0)
+                             + sum(s * one_norm(h) for s, h in zip(sat_v, plant.H1s)))
 
 
 def quantum_expectations(plant: QuantumPlant, xs):

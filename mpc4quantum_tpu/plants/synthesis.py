@@ -84,17 +84,20 @@ def synthesis_step(plant: SynthesisPlant, p, u, dt):
     return (K @ p.reshape(n * n, n * n).astype(K.dtype)).reshape(-1)
 
 
-def synthesis_step_taylor(plant: SynthesisPlant, p, u, dt):
+def synthesis_step_taylor(plant: SynthesisPlant, p, u, dt,
+                          fixed_squarings: int = 4):
     """synthesis_step with the matmul-only Taylor expm and an elementwise
     generator assembly (no LU solve, no real->complex cast feeding a dot) -
-    the form that batches over scenario lanes on the TPU backend (see
-    plants/quantum.quantum_step_taylor)."""
+    the form that batches over scenario lanes on the TPU backend. Accurate
+    while ||dt*H(u)||_1 <= 2^fixed_squarings; no runtime check - size it
+    host-side via plants/quantum.taylor_norm_bound (see
+    quantum_step_taylor's docstring for the contract)."""
     from ..ops.expm import expm_taylor
 
     n = plant.dim_s
     uv = jnp.asarray(u).reshape(-1)
     H = plant.H0 + jnp.sum(uv[:, None, None] * plant.H1s, axis=0)
-    Uk = expm_taylor((-1j * dt) * H, fixed_squarings=4)
+    Uk = expm_taylor((-1j * dt) * H, fixed_squarings=fixed_squarings)
     K = jnp.kron(Uk, Uk.conj())
     return (K @ p.reshape(n * n, n * n).astype(K.dtype)).reshape(-1)
 

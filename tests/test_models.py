@@ -240,3 +240,67 @@ def test_history_ring_wraps_keeping_a0():
     np.testing.assert_allclose(snaps[0], iA_ref[0], atol=1e-12)   # A0 kept
     np.testing.assert_allclose(snaps[1], iA_ref[-2], atol=1e-12)  # last two survive
     np.testing.assert_allclose(snaps[2], iA_ref[-1], atol=1e-12)
+
+
+def test_history_rings_rls_p_alongside_a():
+    """For OnlineDMDc the history also rings the RLS covariance P on the same
+    cadence (reference iP, model.py:308-310), including ring wrap, and
+    history_p_snapshots returns it chronologically."""
+    from mpc4quantum_tpu.models.dmdc import (
+        with_history, history_update, history_snapshots, history_p_snapshots)
+
+    rng = np.random.default_rng(5)
+    A_true, B_true, X, U, Y = make_linear_system(rng, n=80)
+    m0 = online_from_bootstrap(jnp.zeros((4, 6)), 4, 4, 2, alpha=10.0)
+    h = with_history(m0, n_slots=4, every=10)  # slot 0 + ring of 3
+    assert h.pbuf is not None and h.pbuf.shape == (4, 6, 6)
+    upd = history_update(online_fit_iteration)
+
+    m_ref = m0
+    iP_ref = [np.asarray(m0.P)]
+    for k in range(70):
+        m_ref = online_fit_iteration(m_ref, Y[:, k], X[:, k], U[:, k])
+        h = upd(h, Y[:, k], X[:, k], U[:, k])
+        if (k + 1) % 10 == 0:
+            iP_ref.append(np.asarray(m_ref.P))
+
+    psnaps = history_p_snapshots(h)
+    assert len(psnaps) == len(history_snapshots(h)) == 4  # P0 + last 3 survive
+    np.testing.assert_allclose(psnaps[0], iP_ref[0], atol=1e-12)
+    for s, r in zip(psnaps[1:], iP_ref[-3:]):
+        np.testing.assert_allclose(s, r, atol=1e-12)
+
+
+def test_history_p_absent_for_non_rls_models():
+    """Wrapping a model without an RLS state keeps pbuf=None (still a valid
+    pytree through scan) and history_p_snapshots raises."""
+    import pytest
+    from mpc4quantum_tpu.models.dmdc import (
+        with_history, history_update, history_p_snapshots, discrep_bootstrap,
+        discrep_fit_iteration)
+
+    rng = np.random.default_rng(6)
+    A_true, B_true, X, U, Y = make_linear_system(rng, n=30)
+    d0 = discrep_bootstrap(jnp.zeros((4, 6)), 4, 4, 2, capacity=16)
+    h0 = with_history(d0, n_slots=3, every=10)
+    assert h0.pbuf is None
+    upd = history_update(discrep_fit_iteration)
+
+    Yj, Xj, Uj = jnp.asarray(Y), jnp.asarray(X), jnp.asarray(U)
+
+    def body(h, k):
+        return upd(h, Yj[:, k], Xj[:, k], Uj[:, k]), None
+
+    h_f, _ = jax.lax.scan(body, h0, jnp.arange(25))
+    assert int(h_f.it) == 25 and h_f.pbuf is None
+    with pytest.raises(ValueError, match="no RLS state"):
+        history_p_snapshots(h_f)
+
+
+def test_with_history_rejects_single_slot():
+    import pytest
+    from mpc4quantum_tpu.models.dmdc import with_history
+
+    m0 = online_from_bootstrap(jnp.zeros((4, 6)), 4, 4, 2, alpha=10.0)
+    with pytest.raises(ValueError, match="n_slots"):
+        with_history(m0, n_slots=1)

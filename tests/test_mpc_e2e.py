@@ -396,9 +396,25 @@ def test_hostloop_driver_matches_scan_driver():
     np.testing.assert_allclose(out["us"], np.asarray(res_scan.us), atol=1e-8)
     np.testing.assert_allclose(out["final_x"], np.asarray(res_scan.xs[:, :, -1]), atol=1e-8)
     np.testing.assert_array_equal(out["exit_code"], np.asarray(res_scan.exit_code))
+    # full state-trajectory recording (the reference's [xs, us] contract,
+    # reference mpc.py:294-304): per-step states match the scan driver's
+    # lane-for-lane, including the prepended x0
+    assert out["xs"].shape == np.asarray(res_scan.xs).shape
+    np.testing.assert_allclose(out["xs"], np.asarray(res_scan.xs), atol=1e-8)
     # a real pulse was commanded and tracking is under way (non-vacuous)
     assert np.max(np.abs(out["us"])) > 0.01
     assert np.all(out["final_x"][:, 3].real > 0.5)
+
+
+def test_hostloop_rejects_unknown_granularity():
+    """A granularity typo must raise at construction, not silently run (and
+    record) the per-SQP path."""
+    import pytest
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+
+    rho0, model, plant, X_targ, U_targ, Q, R, Qf, config, sat, du = make_not_state_problem()
+    with pytest.raises(ValueError, match="granularity"):
+        HostLoopMPC(config, sat, du=du, granularity="steps")
 
 
 def test_real_embedded_mode_matches_complex():

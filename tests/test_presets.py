@@ -2,6 +2,7 @@
 meets a quality bar (upgrading the reference's plot-only scenario tests,
 reference test_mpc4quantum.py:280-804, to real assertions)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -113,11 +114,13 @@ def test_not_state_discretization_orders_3_and_4():
         assert p1 > 0.99, f"order {order}: final P(|1>) = {p1}"
 
 
-def test_not_gate_order3():
-    """Gate synthesis at discretization order 3 (reference sweeps 1..4 at
-    test_mpc4quantum.py:49): the higher-order model must steer the process
-    cost down at least as well as order 1."""
-    sc = presets.not_gate(order=3)
+@pytest.mark.parametrize("order", [3, 4])
+def test_not_gate_orders_3_and_4(order):
+    """Gate synthesis at discretization orders 3 AND 4 (the reference sweeps
+    the gate scenario over the full order range 1..4, test_mpc4quantum.py:49):
+    the higher-order model must steer the process cost down at least as well
+    as order 1."""
+    sc = presets.not_gate(order=order)
     res = run(sc)
     assert int(res.exit_code) == 0
     objs = np.asarray(res.objs)
