@@ -84,7 +84,7 @@ def main(argv=None):
         if n_qp <= 16:
             # the tuned fixed-iteration budget (probe_tpu_budget2.py);
             # larger-n presets keep their own qp_params (e.g. cnot_state's
-            # tightened targets) - their unrolled solves compile longer
+            # tightened targets + full 3x300 budget)
             from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
 
             cfg = dataclasses.replace(cfg, qp_params=BoxQPParams(max_iter=15,
@@ -94,10 +94,12 @@ def main(argv=None):
             lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
             exit_condition=sc.exit_condition,
             warm_sqp_iters=8, granularity="mixed", steady_fuse=3,
-            # the fully-unrolled QP kernel is built for small n = H*dim_u;
-            # kernels need real TPU hardware (interpret mode is test-only)
-            qp_impl=("pallas" if (not args.cpu and cfg.solver == "qp"
-                                  and n_qp <= 16) else "xla"),
+            # every preset's QP runs through a kernel: the unrolled one at
+            # n <= 16, the looped large-n one beyond (selection inside
+            # HostLoopMPC); kernels need real TPU hardware (interpret mode
+            # is test-only)
+            qp_impl=("pallas" if (not args.cpu and cfg.solver == "qp")
+                     else "xla"),
             plant_impl="pallas" if (not args.cpu and is_quantum) else "xla",
         )
         t0 = time.time()

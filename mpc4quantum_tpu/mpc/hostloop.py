@@ -308,8 +308,14 @@ class HostLoopMPC:
 
         def pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
                             carry, s, step, plants, model, Xtc, Utc):
-            """One fleet SQP iteration via the QP kernel (merged domain)."""
-            from ..ops.pallas_qp import boxqp_pallas, boxqp_accept
+            """One fleet SQP iteration via the QP kernel (merged domain).
+
+            Kernel selection by QP size n = H*dim_u: the fully-unrolled
+            sublane-packed kernel at n <= 16 (flagship-sized - flat FMA
+            chain, 8x lane packing), the looped large-n kernel beyond
+            (boxqp_pallas_big - covers every preset up to cnot's n = 150
+            at its full ADMM budget)."""
+            from ..ops.pallas_qp import boxqp_pallas, boxqp_pallas_big, boxqp_accept
             from ..ops.bilinear import model_along_traj
             from ..solvers.condense import qp_data, qp_finish, QPResult
             from .driver import sqp_update_from_qp
@@ -330,12 +336,13 @@ class HostLoopMPC:
             U_warm = jnp.swapaxes(Ug, 1, 2).reshape(Ug.shape[0], -1)
 
             # fleet-batched kernel solve (the hot op)
-            Uvec, aux = boxqp_pallas(P, q, lb, ub, x0=U_warm,
-                                     iters=qp_iters, rounds=qp_rounds,
-                                     rho_scale=qp_rho0, sigma=qp_sigma,
-                                     alpha=qp_alpha,
-                                     interpret=self.pallas_interpret,
-                                     return_aux=True)
+            solve = boxqp_pallas if P.shape[-1] <= 16 else boxqp_pallas_big
+            Uvec, aux = solve(P, q, lb, ub, x0=U_warm,
+                              iters=qp_iters, rounds=qp_rounds,
+                              rho_scale=qp_rho0, sigma=qp_sigma,
+                              alpha=qp_alpha,
+                              interpret=self.pallas_interpret,
+                              return_aux=True)
             Uvec = Uvec.astype(P.dtype)
             conv = boxqp_accept(aux, qp_eps_abs, qp_eps_rel,
                                 qp_acc_abs, qp_acc_rel)

@@ -238,3 +238,214 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
         return x_out
     a = aux.reshape(_AUX_ROWS, Bp)[:, :B]
     return x_out, BoxQPPallasAux(*[a[r] for r in range(_AUX_ROWS)])
+
+
+# ---------------------------------------------------------------------------
+# Large-n looped kernel (n up to ~160: every preset's condensed QP)
+# ---------------------------------------------------------------------------
+#
+# The kernel above fully unrolls both the n x n inverse and the ADMM chain as
+# per-element python lists - ideal at n <= 16 (flagship n = 10) where the
+# whole program is a short flat FMA chain, but its program size grows as
+# O(n^3 + n^2 * iters): at the reference's larger QPs (not_state_freq n = 50,
+# drag n = 32, crosstalk n = 40, cnot n = 150 - reference optimize.py:59
+# solves all of these through OSQP) it is uncompilable. This variant keeps
+# the data SoA (lanes = batch) but swaps both explosions for loops:
+#
+#   - the K^-1 factorization moves OUT of the kernel: between rho rounds the
+#     host program computes Kinv = ns_inverse(P + (sigma+rho) I) as batched
+#     XLA matmuls (MXU-shaped, and the exact same inverse the XLA path
+#     solvers/boxqp.solve_boxqp_fixed uses - kernel iterates mirror it);
+#   - the `iters` ADMM iterations run under a fori_loop with (x, z, y)
+#     VMEM-resident, the x-update accumulated column-by-column
+#     (acc += Kinv[:, j] * rhs[j], a (n, LANE) broadcast-FMA per column), so
+#     Kinv is read from VMEM once per iteration and nothing round-trips HBM;
+#   - rho rebalancing between rounds is plain batched XLA on the (B, n)
+#     state (OSQP residual-balancing rule, identical to the small kernel).
+#
+# One jit program = `rounds` x [XLA inverse + one kernel dispatch] - the
+# "chunked ADMM" form: deep budgets (cnot's 3 x 300) cost loop trips, not
+# program size.
+
+
+def _admm_loop_kernel(kinv_ref, q_ref, lb_ref, ub_ref, rho_ref,
+                      x_ref, z_ref, y_ref, xo_ref, zo_ref, yo_ref, *,
+                      n: int, iters: int, sigma: float, alpha: float):
+    """`iters` relaxed-ADMM iterations for a (n, LANES) lane block.
+
+    kinv_ref is COLUMN-major: kinv_ref[j] = Kinv[:, j] per lane, so the
+    x-update is a running (n, LANES) FMA over columns with no per-row
+    scatter. rho_ref is a (1, LANES) per-lane row, broadcast over n.
+    """
+    q = q_ref[:]
+    lb = lb_ref[:]
+    ub = ub_ref[:]
+    rho = rho_ref[:]  # (1, LANES)
+
+    def body(_, xzy):
+        x, z, y = xzy
+        rhs = sigma * x - q + rho * z - y
+
+        def col(j, acc):
+            rj = jax.lax.dynamic_slice(rhs, (j, 0), (1, rhs.shape[1]))
+            return acc + kinv_ref[j] * rj
+
+        x_t = jax.lax.fori_loop(0, n, col, jnp.zeros_like(rhs))
+        z_arg = alpha * x_t + (1.0 - alpha) * z
+        z_new = jnp.minimum(jnp.maximum(z_arg + y / rho, lb), ub)
+        y_new = y + rho * (z_arg - z_new)
+        return (x_t, z_new, y_new)
+
+    x, z, y = jax.lax.fori_loop(
+        0, iters, body, (x_ref[:], z_ref[:], y_ref[:]))
+    xo_ref[:] = x
+    zo_ref[:] = z
+    yo_ref[:] = y
+
+
+def _admm_iters_lanes(Kinv, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l,
+                      iters: int, sigma: float, alpha: float,
+                      interpret: bool):
+    """Dispatch the looped kernel over lane tiles.
+
+    All operands lane-last: Kinv (B, n, n) batch-first (transposed here),
+    vectors (n, Bp), rho (1, Bp); Bp a multiple of _LANE. Returns updated
+    (x, z, y) in lane layout.
+
+    VMEM sizing: a (n, n, LANE) Kinv block is n^2 * 512 bytes; while a
+    double-buffered pipeline fits (~<=4 MB, n <= ~90) the whole batch runs as
+    ONE grid; beyond that (cnot n = 150: 11.5 MB/block) each lane tile is its
+    own single-block dispatch so only one Kinv block is ever resident.
+    """
+    n = q_l.shape[0]
+    Bp = q_l.shape[1]
+    # column-major lane layout: kinv_l[j, i, b] = Kinv[b, i, j]
+    kinv_l = jnp.transpose(Kinv, (2, 1, 0))
+    kernel = functools.partial(_admm_loop_kernel, n=n, iters=iters,
+                               sigma=sigma, alpha=alpha)
+    n_tiles = Bp // _LANE
+    block_bytes = n * n * _LANE * 4
+
+    def call(grid, kspec_map, vspec_map, rspec_map, TB, args):
+        vec = lambda m: pl.BlockSpec((n, TB), m, memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n, n, TB), kspec_map, memory_space=pltpu.VMEM),
+                vec(vspec_map), vec(vspec_map), vec(vspec_map),
+                pl.BlockSpec((1, TB), rspec_map, memory_space=pltpu.VMEM),
+                vec(vspec_map), vec(vspec_map), vec(vspec_map),
+            ],
+            out_specs=[vec(vspec_map)] * 3,
+            out_shape=[jax.ShapeDtypeStruct((n, args[1].shape[1]),
+                                            jnp.float32)] * 3,
+            interpret=interpret,
+        )(*args)
+
+    if n_tiles == 1 or block_bytes <= 4 * 1024 * 1024:
+        # one pipelined grid over lane tiles
+        return call((n_tiles,),
+                    lambda b: (0, 0, b), lambda b: (0, b), lambda b: (0, b),
+                    _LANE, (kinv_l, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l))
+    # big-n: one single-block dispatch per lane tile (no double buffering)
+    outs = []
+    for g in range(n_tiles):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, g * _LANE, _LANE, axis=-1)
+        outs.append(call((1,),
+                         lambda b: (0, 0, 0), lambda b: (0, 0), lambda b: (0, 0),
+                         _LANE,
+                         (sl(kinv_l), sl(q_l), sl(lb_l), sl(ub_l), sl(rho_l),
+                          sl(x_l), sl(z_l), sl(y_l))))
+    return tuple(jnp.concatenate([o[k] for o in outs], axis=1) for k in range(3))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "rounds", "ns_iters",
+                                             "rho_scale", "sigma", "alpha",
+                                             "interpret", "return_aux"))
+def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
+                     rho_scale: float = 0.1, sigma: float = 1e-6,
+                     alpha: float = 1.6, ns_iters: int = 30,
+                     interpret: bool = False, return_aux: bool = False):
+    """Batch box-QP solve with the looped large-n kernel.
+
+    Same algorithm and acceptance semantics as `boxqp_pallas` and
+    solvers/boxqp.solve_boxqp_fixed (warm start, `rounds` x `iters`
+    fixed-iteration relaxed ADMM, OSQP rho rebalancing between rounds), with
+    the x-update inverse computed by the SAME Newton-Schulz iteration the XLA
+    "ns" backend uses - the two paths are interchangeable in the MPC driver
+    at any n the condensed horizon produces (tested to n = 150, cnot_state).
+
+    :param P: (B, n, n) SPD matrices (f32); any n (kernel loops, program
+        size is independent of n and iters).
+    :param q, lb, ub, x0: (B, n).
+    :return: (B, n) solutions; with return_aux=True, (x, BoxQPPallasAux).
+    """
+    P = jnp.asarray(P, jnp.float32)
+    P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
+    B, n, _ = P.shape
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    q, lb, ub = f32(q), f32(lb), f32(ub)
+    x0 = jnp.zeros((B, n), jnp.float32) if x0 is None else f32(x0)
+
+    diag_scale = jnp.maximum(
+        jnp.mean(jnp.diagonal(P, axis1=1, axis2=2), axis=1), 1e-12)  # (B,)
+    rho = rho_scale * diag_scale
+    x = jnp.clip(x0, lb, ub)
+    z = x
+    y = jnp.zeros_like(x)
+
+    # pad the batch to a lane multiple with benign identity QPs (q = 0,
+    # x0 = 0 -> the padded lanes stay exactly 0 through every iteration)
+    Bp = _LANE * ((B + _LANE - 1) // _LANE)
+    pad_n = Bp - B
+    eye = jnp.eye(n, dtype=jnp.float32)
+    padm = lambda M: jnp.concatenate(
+        [M, jnp.tile(eye[None], (pad_n, 1, 1))], axis=0) if pad_n else M
+    padv = lambda v, fill: jnp.concatenate(
+        [v, jnp.full((pad_n, n), fill, jnp.float32)], axis=0) if pad_n else v
+    pads = lambda s, fill: jnp.concatenate(
+        [s, jnp.full((pad_n,), fill, jnp.float32)], axis=0) if pad_n else s
+
+    P_p = padm(P)
+    q_p, lb_p, ub_p = padv(q, 0.0), padv(lb, -1.0), padv(ub, 1.0)
+    x_p, z_p, y_p = padv(x, 0.0), padv(z, 0.0), padv(y, 0.0)
+    rho_p = pads(rho, rho_scale)
+    ds_p = pads(diag_scale, 1.0)
+
+    inf_rows = lambda M: jnp.max(jnp.abs(M), axis=1)  # (Bp, n) -> (Bp,)
+
+    from ..solvers.boxqp import ns_inverse
+
+    lanes = lambda v: v.T  # (Bp, n) -> (n, Bp)
+    for rnd in range(rounds):
+        K = P_p + (sigma + rho_p)[:, None, None] * eye
+        Kinv = ns_inverse(K, iters=ns_iters)
+        x_l, z_l, y_l = _admm_iters_lanes(
+            Kinv, lanes(q_p), lanes(lb_p), lanes(ub_p), rho_p[None, :],
+            lanes(x_p), lanes(z_p), lanes(y_p),
+            iters=iters, sigma=sigma, alpha=alpha, interpret=interpret)
+        x_p, z_p, y_p = x_l.T, z_l.T, y_l.T
+
+        if rnd + 1 < rounds:
+            # OSQP residual balancing (solvers/boxqp.py:245-252)
+            Px = jnp.einsum("bij,bj->bi", P_p, x_p)
+            prim = inf_rows(x_p - z_p)
+            dual = inf_rows(Px + q_p + y_p)
+            prim_s = prim / jnp.maximum(
+                jnp.maximum(inf_rows(x_p), inf_rows(z_p)), 1e-12)
+            dual_s = dual / jnp.maximum(
+                jnp.maximum(inf_rows(Px),
+                            jnp.maximum(inf_rows(q_p), inf_rows(y_p))), 1e-12)
+            ratio = jnp.sqrt(prim_s / jnp.maximum(dual_s, 1e-16))
+            rho_p = jnp.clip(rho_p * ratio, 1e-8 * ds_p, 1e8 * ds_p)
+
+    x_out = z_p[:B]
+    if not return_aux:
+        return x_out
+    xb, zb, yb, qb = x_p[:B], z_p[:B], y_p[:B], q_p[:B]
+    Px = jnp.einsum("bij,bj->bi", P, xb)
+    return x_out, BoxQPPallasAux(
+        prim=inf_rows(xb - zb), dual=inf_rows(Px + qb + yb),
+        xmax=inf_rows(xb), zmax=inf_rows(zb), pxmax=inf_rows(Px),
+        qmax=inf_rows(qb), ymax=inf_rows(yb), rho=rho_p[:B])

@@ -171,3 +171,121 @@ def test_hostloop_pallas_qp_impl_plumbing():
     np.testing.assert_allclose(out["us"], out_x["us"], atol=1e-3)
     # a nonzero pulse must actually have been commanded (non-vacuous)
     assert np.max(np.abs(out_x["us"])) > 0.01
+
+
+# ---------------------------------------------------------------------------
+# Large-n looped kernel (boxqp_pallas_big): covers every preset's QP size
+# ---------------------------------------------------------------------------
+# Unlike the unrolled kernel, the looped kernel's interpret-mode compile is
+# budget-independent (fori_loops, not unrolled chains), so these run in the
+# regular suite at realistic budgets.
+
+
+@pytest.mark.parametrize("B,n,iters,rounds", [
+    (5, 12, 15, 3),    # small-n cross-check against the unrolled kernel's regime
+    (3, 40, 30, 2),    # crosstalk-sized (H=20, dim_u=2)
+    (2, 150, 20, 2),   # cnot-sized (H=50, dim_u=3) - the reference's largest QP
+])
+def test_big_kernel_matches_solve_boxqp_fixed(B, n, iters, rounds):
+    """boxqp_pallas_big is an exact algorithmic mirror of
+    solvers/boxqp.solve_boxqp_fixed (the qp_backend='ns' XLA path): same
+    Newton-Schulz inverse, same iterates, same residuals and acceptance -
+    at every preset QP size including cnot's n = 150."""
+    import jax
+    from mpc4quantum_tpu.ops.pallas_qp import boxqp_pallas_big, boxqp_accept
+    from mpc4quantum_tpu.solvers.boxqp import solve_boxqp_fixed, BoxQPParams
+
+    rng = np.random.default_rng(n)
+    G = rng.normal(size=(B, n, n)).astype(np.float32)
+    P = np.einsum("bij,bkj->bik", G, G) / n + 0.5 * np.eye(n, dtype=np.float32)
+    q = rng.normal(size=(B, n)).astype(np.float32)
+    lb = -np.abs(rng.normal(size=(B, n))).astype(np.float32)
+    ub = np.abs(rng.normal(size=(B, n))).astype(np.float32)
+    x0 = rng.normal(size=(B, n)).astype(np.float32) * 0.1
+
+    xk, aux = boxqp_pallas_big(P, q, lb, ub, x0=x0, iters=iters, rounds=rounds,
+                               interpret=True, return_aux=True)
+    params = BoxQPParams(max_iter=iters, n_rounds=rounds)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    ref = jax.vmap(lambda P, q, lb, ub, x0: solve_boxqp_fixed(
+        P, q, lb, ub, x0=x0, params=params))(
+        f32(P), f32(q), f32(lb), f32(ub), f32(x0))
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(ref.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aux.prim), np.asarray(ref.prim_res), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aux.dual), np.asarray(ref.dual_res), atol=2e-4)
+    conv = np.asarray(boxqp_accept(aux, params.eps_abs, params.eps_rel,
+                                   params.accept_abs, params.accept_rel))
+    np.testing.assert_array_equal(conv, np.asarray(ref.converged))
+    # feasibility of the returned (projected) iterate
+    assert np.all(np.asarray(xk) >= lb - 1e-6) and np.all(np.asarray(xk) <= ub + 1e-6)
+
+
+def test_big_kernel_chunked_lane_tiles():
+    """n > 90 with more than one lane tile takes the single-block-per-tile
+    dispatch path (no double-buffered (n,n,LANE) block); results must be
+    independent of the dispatch shape."""
+    import jax
+    from mpc4quantum_tpu.ops.pallas_qp import boxqp_pallas_big
+    from mpc4quantum_tpu.solvers.boxqp import solve_boxqp_fixed, BoxQPParams
+
+    rng = np.random.default_rng(9)
+    B, n = 130, 100
+    G = rng.normal(size=(B, n, n)).astype(np.float32)
+    P = np.einsum("bij,bkj->bik", G, G) / n + 0.5 * np.eye(n, dtype=np.float32)
+    q = rng.normal(size=(B, n)).astype(np.float32)
+    lb = -np.abs(rng.normal(size=(B, n))).astype(np.float32)
+    ub = np.abs(rng.normal(size=(B, n))).astype(np.float32)
+    xk = boxqp_pallas_big(P, q, lb, ub, iters=10, rounds=2, interpret=True)
+    params = BoxQPParams(max_iter=10, n_rounds=2)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    ref = jax.vmap(lambda P, q, lb, ub: solve_boxqp_fixed(P, q, lb, ub, params=params))(
+        f32(P), f32(q), f32(lb), f32(ub))
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(ref.x), atol=2e-5)
+
+
+def test_big_kernel_converges_to_scipy_optimum():
+    """At a full budget the looped kernel reaches the true box-QP optimum
+    (chained oracle: kernel == NS-ADMM mirror == scipy)."""
+    from mpc4quantum_tpu.ops.pallas_qp import boxqp_pallas_big
+
+    P, q, lb, ub = make_batch(4, 24, seed=11)
+    x = np.asarray(boxqp_pallas_big(jnp.asarray(P), jnp.asarray(q),
+                                    jnp.asarray(lb), jnp.asarray(ub),
+                                    iters=150, rounds=3, interpret=True))
+    ref = scipy_ref(P.astype(np.float64), q.astype(np.float64),
+                    lb.astype(np.float64), ub.astype(np.float64))
+    np.testing.assert_allclose(x, ref, atol=2e-3)
+
+
+@slow
+def test_hostloop_big_kernel_e2e_crosstalk_sized():
+    """qp_impl='pallas' on a preset whose QP exceeds the unrolled kernel's
+    n <= 16 (crosstalk: n = H*dim_u = 40): HostLoopMPC auto-selects the
+    looped kernel and the rollout must match qp_impl='xla' + qp_backend='ns'
+    lane-for-lane at the same budget."""
+    import dataclasses
+    import jax
+    from mpc4quantum_tpu import presets
+    from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+    from mpc4quantum_tpu.parallel.fleet import make_scenario_batch
+    from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+    from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+
+    sc = presets.crosstalk(coupling=0.01)
+    plants, keys = make_scenario_batch(jax.random.PRNGKey(0), sc.plant, 2,
+                                       detune_scale=0.01)
+    cfg = dataclasses.replace(sc.config, n_steps=3, qp_backend="ns",
+                              qp_params=BoxQPParams(max_iter=60, n_rounds=2))
+    mk = lambda impl: HostLoopMPC(cfg, sc.sat, du=sc.du,
+                                  plant_step_fn=quantum_step_taylor,
+                                  lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
+                                  warm_sqp_iters=3, qp_impl=impl,
+                                  pallas_interpret=(impl == "pallas"))
+    out_p = mk("pallas").run(sc.x0, sc.model, plants, sc.X_targ, sc.U_targ,
+                             sc.Q, sc.R, sc.Qf, keys)
+    out_x = mk("xla").run(sc.x0, sc.model, plants, sc.X_targ, sc.U_targ,
+                          sc.Q, sc.R, sc.Qf, keys)
+    np.testing.assert_array_equal(out_p["exit_code"], out_x["exit_code"])
+    np.testing.assert_allclose(out_p["us"], out_x["us"], atol=1e-4)
+    np.testing.assert_allclose(out_p["final_x"], out_x["final_x"], atol=1e-4)
+    assert np.max(np.abs(out_x["us"])) > 1e-3  # non-vacuous
