@@ -321,6 +321,45 @@ def main():
         fid_min = float(fid_min)
         completed = float(completed)
 
+    # ----------------------------------------------------------------
+    # per-preset scenario table (VERDICT r2 #2): every reference workload
+    # (SURVEY.md section 4) benched through the production engine with
+    # quality gates on fidelity_min AND completed_frac. Runs after the
+    # flagship timing so the headline number is measured on a fresh chip.
+    # BENCH_PRESETS="" skips; "all" = the full table.
+    # ----------------------------------------------------------------
+    preset_results = {}
+    preset_spec = {
+        # name: (batch, build_kwargs, min-fidelity gate or None)
+        "not_state_freq": (1024, {}, 0.98),
+        "drag_state": (256, {}, 0.98),
+        "crosstalk": (256, {}, 0.98),
+        "cnot_state": (64, {}, 0.98),
+        # n_steps=90 so the exit condition can physically fire (see
+        # presets.not_gate docstring); quality = every lane exits early
+        "not_gate": (128, {"n_steps": 90}, None),
+    }
+    names = os.environ.get("BENCH_PRESETS", "all" if path == "hostloop" else "")
+    names = list(preset_spec) if names == "all" else [n for n in names.split(",") if n]
+    if names:
+        from mpc4quantum_tpu import presets as presets_mod
+        from mpc4quantum_tpu.benchfleet import run_hostloop_fleet
+
+        for name in names:
+            batch_p, kw, fid_gate = preset_spec[name]
+            with jax.default_device(cpu):
+                sc = presets_mod.PRESETS[name](**kw)
+            m, _ = run_hostloop_fleet(sc, batch_p, key=jax.random.PRNGKey(1),
+                                      cpu=on_cpu, reps=2)
+            # quality gates: worst lane, not just the mean
+            assert m["completed_frac"] == 1.0, f"{name}: {m}"
+            assert m["qp_fail_frac"] == 0.0, f"{name}: {m}"
+            if fid_gate is not None:
+                assert m["fidelity_min"] >= fid_gate, f"{name}: {m}"
+            else:
+                assert m["exit_early_frac"] == 1.0, f"{name}: {m}"  # gate synthesized
+            preset_results[name] = m
+
     # CPU baseline: sequential single-scenario rollouts. The single-rollout
     # timing swung 2.7x between rounds (0.657 s vs 1.763 s, BENCH_r01 vs
     # BENCH_r02 - same code, host load); take the MEDIAN of >= 5 rollouts and
@@ -356,6 +395,8 @@ def main():
         "compile_s": round(compile_s, 1),
         "qp_solves_per_s": round(rollouts_per_s * N_STEPS, 1),
     }
+    if preset_results:
+        out["presets"] = preset_results
     # quality gates: mean AND worst-lane fidelity AND completion - a fleet
     # where a tail of lanes diverges must not "pass" on the mean
     assert fid_mean > 0.98, f"quality gate failed: fleet fidelity {fid_mean}"
@@ -372,7 +413,9 @@ if __name__ == "__main__":
     # bench is worse than a CPU number. SIGALRM turns a hang into the
     # exception path, which re-execs on the CPU backend.
     if os.environ.get("BENCH_DEVICE") != "cpu":
-        timeout_s = int(os.environ.get("BENCH_TPU_TIMEOUT", "2400"))
+        # budget covers the flagship plus the five-preset table; first-ever
+        # run pays remote kernel compiles (cached server-side afterwards)
+        timeout_s = int(os.environ.get("BENCH_TPU_TIMEOUT", "3600"))
 
         def _alarm(signum, frame):
             raise TimeoutError(f"TPU bench exceeded {timeout_s}s (remote compile hang?)")

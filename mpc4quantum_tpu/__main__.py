@@ -61,61 +61,14 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     if args.batch > 0 and args.hostloop:
-        from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
-        from mpc4quantum_tpu.parallel.fleet import make_scenario_batch
-        from mpc4quantum_tpu.plants.quantum import QuantumPlant, quantum_step_taylor
-        from mpc4quantum_tpu.plants.synthesis import SynthesisPlant, synthesis_step_taylor
+        # the shared fleet runner (benchfleet.py): every preset's QP runs
+        # through a kernel on hardware - the unrolled one at n <= 16, the
+        # looped large-n one beyond (selection inside HostLoopMPC; interpret
+        # mode is test-only, so --cpu uses the XLA impls)
+        from mpc4quantum_tpu.benchfleet import run_hostloop_fleet
 
-        with jax.default_device(jax.devices("cpu")[0]):
-            plants, keys = make_scenario_batch(key, sc.plant, args.batch,
-                                               detune_scale=0.01)
-            plants = jax.tree.map(np.asarray, plants)
-            keys = np.asarray(keys)
-            npize = lambda t: jax.tree.map(np.asarray, t)
-            model_np, Xt, Ut = npize(sc.model), np.asarray(sc.X_targ), np.asarray(sc.U_targ)
-            Qn, Rn, Qfn = np.asarray(sc.Q), np.asarray(sc.R), np.asarray(sc.Qf)
-
-        is_quantum = isinstance(sc.plant, QuantumPlant)
-        step_fn = (quantum_step_taylor if is_quantum
-                   else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
-                   else sc.plant_step_fn)
-        cfg = dataclasses.replace(sc.config, qp_backend="ns")
-        n_qp = cfg.horizon * cfg.dim_u
-        if n_qp <= 16:
-            # the tuned fixed-iteration budget (probe_tpu_budget2.py);
-            # larger-n presets keep their own qp_params (e.g. cnot_state's
-            # tightened targets + full 3x300 budget)
-            from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
-
-            cfg = dataclasses.replace(cfg, qp_params=BoxQPParams(max_iter=15,
-                                                                 n_rounds=3))
-        runner = HostLoopMPC(
-            cfg, sc.sat, du=sc.du, plant_step_fn=step_fn,
-            lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
-            exit_condition=sc.exit_condition,
-            warm_sqp_iters=8, granularity="mixed", steady_fuse=3,
-            # every preset's QP runs through a kernel: the unrolled one at
-            # n <= 16, the looped large-n one beyond (selection inside
-            # HostLoopMPC); kernels need real TPU hardware (interpret mode
-            # is test-only)
-            qp_impl=("pallas" if (not args.cpu and cfg.solver == "qp")
-                     else "xla"),
-            plant_impl="pallas" if (not args.cpu and is_quantum) else "xla",
-        )
-        t0 = time.time()
-        res_h = runner.run(sc.x0, model_np, plants, Xt, Ut, Qn, Rn, Qfn, keys,
-                           record=False)
-        elapsed = time.time() - t0
-        fid = np.real(res_h["final_x"] @ np.conj(sc.target_state))
-        codes = res_h["exit_code"]
-        out = {
-            "preset": sc.name, "batch": args.batch, "engine": "hostloop",
-            "elapsed_s": round(elapsed, 3),
-            "rollouts_per_s": round(args.batch / elapsed, 2),
-            "fidelity_mean": round(float(fid.mean()), 5),
-            "fidelity_min": round(float(fid.min()), 5),
-            "completed_frac": round(float(((codes == 0) | (codes == 1)).mean()), 3),
-        }
+        metrics, _ = run_hostloop_fleet(sc, args.batch, key=key, cpu=args.cpu)
+        out = dict(metrics, engine="hostloop")
     elif args.batch > 0:
         from mpc4quantum_tpu.parallel.fleet import make_scenario_batch, batched_mpc, fleet_summary
 
