@@ -261,14 +261,26 @@ def main():
         # iteration, plant_impl="pallas" batch-expms the fleet's propagators,
         # granularity="step" fuses warm steps too (one dispatch each; probe T:
         # 11.4k vs 10.4k r/s in-process vs "mixed").
-        # Together: ~2800 vs ~2100 rollouts/s for the all-XLA sqp-granular
-        # form. On failure the exception path retries with the XLA/sqp
-        # round-1-proven form before falling to CPU.
+        # Round-3 chain-shortening (tests/test_warm_duals.py sweeps): steady
+        # solves warm-start from the previous step's ADMM dual + rho
+        # (qp_warm_duals) and run a 2x10 budget (acceptance 4e-3; fidelity
+        # gates below are the real quality bar) - ~2.2x fewer serial ADMM
+        # iterations on the latency-bound kernel. BENCH_WARM_DUALS=0 restores
+        # the cold 3x15-everywhere form; BENCH_QP_KERNEL selects the kernel
+        # (auto|small|big|big_unroll). On failure the exception path retries
+        # with the XLA/sqp round-1-proven form before falling to CPU.
+        warm_duals = os.environ.get("BENCH_WARM_DUALS", "1") == "1"
+        qp_kernel = os.environ.get("BENCH_QP_KERNEL", "auto")
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
-                            qp_backend="ns", qp_params=BoxQPParams(max_iter=15, n_rounds=3))
+                            qp_backend="ns", qp_warm_duals=warm_duals,
+                            qp_params=BoxQPParams(max_iter=15, n_rounds=3))
+        steady_qp = (BoxQPParams(max_iter=10, n_rounds=2,
+                                 accept_abs=4e-3, accept_rel=4e-3)
+                     if warm_duals else None)
         runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
                              warm_sqp_iters=8, qp_impl=qp_impl, plant_impl=plant_impl,
-                             granularity=gran, steady_fuse=fuse)
+                             granularity=gran, steady_fuse=fuse,
+                             steady_qp_params=steady_qp, qp_kernel=qp_kernel)
 
         def run_once():
             return runner.run(rho0, model, plants, X_targ, U_targ, Q, R, Q, keys,
@@ -384,6 +396,10 @@ def main():
         "qp_impl": qp_impl if path == "hostloop" else "xla",
         "plant_impl": plant_impl if path == "hostloop" else "xla",
         "granularity": gran if path == "hostloop" else "-",
+        "warm_duals": (os.environ.get("BENCH_WARM_DUALS", "1") == "1"
+                       if path == "hostloop" else False),
+        "qp_kernel": (os.environ.get("BENCH_QP_KERNEL", "auto")
+                      if path == "hostloop" else "-"),
         "fidelity_mean": round(fid_mean, 5),
         "fidelity_min": round(fid_min, 5),
         "completed_frac": completed,

@@ -24,7 +24,9 @@ import numpy as np
 def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        record: bool = False, detune_scale: float = 0.01,
                        reps: int = 1, warm_sqp_iters: int = 8,
-                       granularity: str = "mixed", steady_fuse: int = 3):
+                       granularity: str = "mixed", steady_fuse: int = 3,
+                       warm_duals: bool = False, steady_qp_params=None,
+                       qp_kernel: str = "auto"):
     """Run a `batch`-lane detuning-sweep fleet of scenario `sc` end-to-end.
 
     :param sc: a presets.Scenario.
@@ -56,7 +58,8 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
     step_fn = (quantum_step_taylor if is_quantum
                else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
                else sc.plant_step_fn)
-    cfg = dataclasses.replace(sc.config, qp_backend="ns")
+    cfg = dataclasses.replace(sc.config, qp_backend="ns",
+                              qp_warm_duals=warm_duals)
     if cfg.horizon * cfg.dim_u <= 16:
         # the flagship-tuned fixed budget (probe_tpu_budget2.py); larger-n
         # presets keep their own qp_params (e.g. cnot_state's tightened
@@ -69,6 +72,7 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         exit_condition=sc.exit_condition,
         warm_sqp_iters=warm_sqp_iters, granularity=granularity,
         steady_fuse=steady_fuse,
+        steady_qp_params=steady_qp_params, qp_kernel=qp_kernel,
         qp_impl=("pallas" if (not cpu and cfg.solver == "qp") else "xla"),
         plant_impl="pallas" if (not cpu and is_quantum) else "xla",
     )

@@ -85,6 +85,14 @@ class MPCConfig:
     # loop compile a 1-QP steady-state program separately from the
     # multi-iteration early-step program
     single_shot: Optional[bool] = None
+    # carry the ADMM dual (y) and penalty (rho) from each QP solve into the
+    # next one (shifted with the receding horizon). MPC solves a sequence of
+    # nearly identical QPs, so the warm duals skip the rho-rebalancing
+    # rounds a cold start needs - with qp_backend="ns" (or the Pallas
+    # kernels) this shortens the fixed iteration budget the steady state
+    # requires, the dominant serial cost on latency-bound TPU dispatch.
+    # Off by default: bit-identical to the cold-start reference semantics.
+    qp_warm_duals: bool = False
     # trajectory recording inside the scan: "dus" (dynamic_update_slice row
     # writes), "onehot" (multiply-add accumulation - no scatter, for backends
     # whose loops lack DUS), "none" (final state only; xs/us outputs zeroed)
@@ -139,7 +147,7 @@ def sqp_update_from_qp(s, res: QPResult, X_ref, U_ref, Q_s, R_s,
     failure codes, line search, masked guess blend (reference
     mpc.py:193-229). Shared by the in-graph SQP loop and fleet-batched QP
     backends (e.g. the Pallas kernel path in mpc/hostloop.py)."""
-    (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code) = s
+    (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code, y_qp, rho_qp) = s
     qp_fail = ~res.converged
     obj_inf = ~jnp.isfinite(res.obj)
     new_code = jnp.where(qp_fail, 2, jnp.where(obj_inf, 3, 0)).astype(jnp.int32)
@@ -155,7 +163,15 @@ def sqp_update_from_qp(s, res: QPResult, X_ref, U_ref, Q_s, R_s,
     upd = (new_code == 0).astype(Xg.real.dtype)
     Xg_new = Xg + upd * alpha * (res.X - Xg)
     Ug_new = Ug + upd * alpha * (res.U - Ug)
-    return (Xg_new, Ug_new, res.X, res.U, res.obj, n_iter + 1, iqp_done, new_code)
+    # dual warm-start carriers: take the solve's final (y, rho) on success,
+    # keep the old values on failure (mirrors the guess freeze). Solver
+    # paths without duals (LQR) leave the carriers untouched.
+    if res.y is not None:
+        ok = new_code == 0
+        y_qp = jnp.where(ok, res.y.astype(y_qp.dtype), y_qp)
+        rho_qp = jnp.where(ok, res.rho.astype(rho_qp.dtype), rho_qp)
+    return (Xg_new, Ug_new, res.X, res.U, res.obj, n_iter + 1, iqp_done,
+            new_code, y_qp, rho_qp)
 
 
 def make_mpc_step(
@@ -219,12 +235,22 @@ def make_mpc_step(
             single_shot = jnp.asarray(config.single_shot)
         return X_ref, U_ref, bmodel, lift_x, u_prev, single_shot
 
-    def sqp_init(carry):
-        """Initial SQP state s = (Xg, Ug, X_opt, U_opt, obj, n_iter, done, code)."""
+    def sqp_init(carry, duals=None):
+        """Initial SQP state
+        s = (Xg, Ug, X_opt, U_opt, obj, n_iter, done, code, y_qp, rho_qp).
+
+        :param duals: optional (y (H*dim_u,), rho ()) carried from the
+            previous step's solve (shifted); None = cold start (zeros, with
+            rho = 0 as the "use the solver default" sentinel).
+        """
         X_guess, U_guess = carry[2], carry[3]
+        rdtype = X_guess.real.dtype
+        if duals is None:
+            duals = (jnp.zeros(H * dim_u, rdtype), jnp.zeros((), rdtype))
         return (X_guess, U_guess, X_guess, U_guess,
-                jnp.asarray(jnp.inf, X_guess.real.dtype),
-                jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(0, jnp.int32))
+                jnp.asarray(jnp.inf, rdtype),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                duals[0], duals[1])
 
     def sqp_iter(s, carry, step, plant, model_state, X_targ, U_targ):
         """One masked SQP iteration (frozen once the exit condition fired) -
@@ -233,7 +259,7 @@ def make_mpc_step(
             carry, step, plant, model_state, X_targ, U_targ)
 
         def iqp_body(s):
-            (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code) = s
+            (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code, y_qp, rho_qp) = s
             A_s, B_s, D_s = model_along_traj(bmodel, Xg[:, :H], Ug)
             if config.solver == "lqr":
                 lres = lqr_quad_program(
@@ -249,10 +275,25 @@ def make_mpc_step(
                 res = QPResult(X=lres.X, U=lres.U, obj=lres.cost,
                                iters=jnp.asarray(0), converged=lqr_ok)
             else:
+                if config.qp_warm_duals:
+                    # carried duals seed SINGLE-SHOT (steady) solves only:
+                    # warm-phase SQP iterations re-linearize aggressively
+                    # (the QP itself changes solve to solve), and feeding
+                    # each one the previous solve's rho ratchets the penalty
+                    # out of the stable band (measured failure mode). The
+                    # warm phase runs cold - its last solve's (y, rho) then
+                    # seed the steady chain, where consecutive QPs are
+                    # near-identical and the warm start pays.
+                    ss = jnp.asarray(single_shot)
+                    Y_w = jnp.where(ss, y_qp, jnp.zeros_like(y_qp))
+                    rho_w = jnp.where(ss, rho_qp, jnp.zeros_like(rho_qp))
+                else:
+                    Y_w = rho_w = None
                 res = quad_program(
                     lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
                     u_prev=u_prev, sat=sat, du=du, U_warm=Ug, params=config.qp_params,
                     backend=config.qp_backend,
+                    Y_warm=Y_w, rho_warm=rho_w,
                 )
             return sqp_update_from_qp(s, res, X_ref, U_ref, Q_s, R_s,
                                       single_shot, config.step_tol)
@@ -261,9 +302,9 @@ def make_mpc_step(
         s_new = iqp_body(s)
         return tuple(jnp.where(done_prev, a, b) for a, b in zip(s, s_new))
 
-    def run_sqp(carry, step, plant, model_state, X_targ, U_targ):
+    def run_sqp(carry, step, plant, model_state, X_targ, U_targ, duals=None):
         ctx_args = (carry, step, plant, model_state, X_targ, U_targ)
-        init = sqp_init(carry)
+        init = sqp_init(carry, duals)
         if config.sqp_unroll > 0:
             # flat masked form: exactly sqp_unroll iterations, updates
             # frozen once the exit condition fires (no device loop)
@@ -272,7 +313,7 @@ def make_mpc_step(
                 s = sqp_iter(s, *ctx_args)
             return s
         def iqp_cond(s):
-            (_, _, _, _, _, n_iter, iqp_done, _) = s
+            n_iter, iqp_done = s[5], s[6]
             return jnp.logical_and(~iqp_done, n_iter < config.max_iter)
         return jax.lax.while_loop(iqp_cond, lambda s: sqp_iter(s, *ctx_args), init)
 
@@ -281,7 +322,7 @@ def make_mpc_step(
         closure, streaming refit, guess shifting, exit bookkeeping."""
         (x_cur, x_true, X_guess, U_guess, u_last, key, exit_code, done) = carry
         dim_x = X_guess.shape[0]
-        (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code) = s
+        (Xg, Ug, X_opt, U_opt, obj, n_iter, _, iqp_code, y_qp, rho_qp) = s
         _, _, bmodel, lift_x, _, _ = _context(carry, step, plant, model_state, X_targ, U_targ)
         step_failed = iqp_code > 0
 
@@ -326,6 +367,12 @@ def make_mpc_step(
         # --- guess/target shifting (reference mpc.py:71-73, 271-272) ---
         Xg_shift = jnp.concatenate([Xg[:, 1:], Xg[:, -1:]], axis=1)
         Ug_shift = jnp.concatenate([Ug[:, 1:], Ug[:, -1:]], axis=1)
+        # dual warm-start shift: y is time-major (H*dim_u,) like vec(U) -
+        # drop the applied step's block, duplicate the last (the same
+        # receding-horizon shift as the guesses); frozen once the lane is
+        # done (mirrors the guess freeze below)
+        y_shift = jnp.concatenate([y_qp[dim_u:], y_qp[-dim_u:]])
+        duals_out = (jnp.where(done, y_qp, y_shift), rho_qp)
 
         # --- exit bookkeeping ---
         cond_exit = (
@@ -353,11 +400,12 @@ def make_mpc_step(
             jnp.where(done, jnp.zeros_like(obj), obj),
             jnp.where(done, 0, n_iter).astype(jnp.int32),
             active,
+            duals_out,  # shifted (y, rho) for the next step's QP warm start
         )
         return carry_new, model_state, outputs
 
-    def step_fn(carry, step, plant, model_state, X_targ, U_targ):
-        s = run_sqp(carry, step, plant, model_state, X_targ, U_targ)
+    def step_fn(carry, step, plant, model_state, X_targ, U_targ, duals=None):
+        s = run_sqp(carry, step, plant, model_state, X_targ, U_targ, duals)
         return advance(carry, s, step, plant, model_state, X_targ, U_targ)
 
     # expose the pieces for host-driven fine-grained loops (mpc/hostloop.py):
@@ -465,18 +513,28 @@ def mpc(
     record = config.traj_mode != "none"
     row_len = 2 * E + 3 + dim_u
     traj_tuple0 = (jnp.zeros((n_steps, row_len), rdtype),) if record else ()
+    # dual warm-start state (y, rho), threaded only when enabled so the
+    # default scan-state shape is untouched (the TPU-validated form)
+    warm_duals = config.qp_warm_duals
+    duals_tuple0 = ((jnp.zeros(H * dim_u, rdtype), jnp.zeros((), rdtype))
+                    if warm_duals else ())
+    n_traj = 1 if record else 0
+    n_duals = 2 if warm_duals else 0
 
     def scan_body(state, step):
         carry = state[:8]
-        traj_tuple = state[8 : 8 + (1 if record else 0)]
-        mleaves = state[8 + (1 if record else 0):]
+        traj_tuple = state[8 : 8 + n_traj]
+        duals = state[8 + n_traj : 8 + n_traj + n_duals] if warm_duals else None
+        mleaves = state[8 + n_traj + n_duals:]
         mstate = jax.tree.unflatten(model_def, list(mleaves)) if streaming else model_state
-        carry_new, m_new, outs = step_fn(carry, step, plant, mstate, Xt, Ut)
+        carry_new, m_new, outs = step_fn(carry, step, plant, mstate, Xt, Ut,
+                                         duals=duals)
+        duals_tuple = outs[5] if warm_duals else ()
 
         if record:
             (traj,) = traj_tuple
             # trajectory row: [re(x), im(x), obj, iters, active, u...]
-            x_next, u_apply, obj, iters, active = outs
+            x_next, u_apply, obj, iters, active = outs[:5]
             row = jnp.concatenate([
                 jnp.real(x_next).astype(rdtype),
                 jnp.imag(x_next).astype(rdtype),
@@ -493,15 +551,16 @@ def mpc(
             traj_tuple = (traj,)
 
         m_new_leaves = tuple(jax.tree.leaves(m_new)) if streaming else ()
-        return carry_new + traj_tuple + m_new_leaves, None
+        return carry_new + traj_tuple + duals_tuple + m_new_leaves, None
 
-    state_f, _ = jax.lax.scan(scan_body, carry0 + traj_tuple0 + tuple(model_leaves),
+    state_f, _ = jax.lax.scan(scan_body,
+                              carry0 + traj_tuple0 + duals_tuple0 + tuple(model_leaves),
                               jnp.arange(n_steps),
                               unroll=n_steps if config.unroll else 1)
     carry_f = state_f[:8]
-    n_extra = 1 if record else 0
     traj_f = state_f[8] if record else jnp.zeros((n_steps, row_len), rdtype)
-    model_f = jax.tree.unflatten(model_def, list(state_f[8 + n_extra:])) if streaming else model_state
+    model_f = (jax.tree.unflatten(model_def, list(state_f[8 + n_traj + n_duals:]))
+               if streaming else model_state)
     intbuf_f = jnp.stack([carry_f[6], carry_f[7].astype(jnp.int32)])
 
     xs_re = traj_f[:, :E]

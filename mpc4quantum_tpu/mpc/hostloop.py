@@ -81,6 +81,8 @@ class HostLoopMPC:
                  qp_impl: str = "xla",
                  plant_impl: str = "xla",
                  steady_fuse: int = 1,
+                 steady_qp_params=None,
+                 qp_kernel: str = "auto",
                  pallas_interpret: bool = False,
                  pallas_max_squarings: int = 12):
         """:param granularity: "sqp" = four small programs (one per SQP
@@ -103,6 +105,12 @@ class HostLoopMPC:
         QPs are solved by ONE call to the lane-batched Pallas ADMM kernel
         (ops/pallas_qp.py) per SQP iteration - the fused hot-kernel path,
         available at every granularity (requires config.solver="qp").
+        :param steady_qp_params: optional BoxQPParams override for the
+        steady-state (single-shot) programs only. With config.qp_warm_duals
+        the steady QPs start from the previous step's (shifted) ADMM dual
+        and rebalanced rho, so they need a fraction of the cold-start
+        iteration budget - e.g. BoxQPParams(max_iter=10, n_rounds=1) against
+        a 3x15 warm-phase budget. None = same budget both phases.
         :param plant_impl: "xla" = per-lane `plant_step_fn` inside the
         advance vmap; "pallas" = the fleet's one-step propagators
         U_b = expm(-i dt H_b(u_b)) computed by ONE call to the lane-batched
@@ -120,6 +128,15 @@ class HostLoopMPC:
                 f"granularity={granularity!r} is not one of 'sqp'/'step'/'mixed' "
                 "- a typo here would silently run (and record) the wrong engine "
                 "configuration")
+        if qp_kernel not in ("auto", "small", "big", "big_unroll"):
+            raise ValueError(
+                f"qp_kernel={qp_kernel!r} is not one of 'auto'/'small'/'big'/"
+                "'big_unroll'. auto = the fully-unrolled in-kernel-inverse "
+                "kernel at n_qp <= 16, the looped large-n kernel beyond; "
+                "small/big force one; big_unroll = the XLA-inverse kernel "
+                "with the ADMM chain unrolled (shortest serial chain at "
+                "flagship sizes)")
+        self.qp_kernel = qp_kernel
         self.config = config
         self.sat = sat
         self.du = du
@@ -156,11 +173,15 @@ class HostLoopMPC:
                 observe_fn=prop_obs,
             )
         # two SQP-iteration programs: line-searched (warm phase) and
-        # single-shot alpha=1 (steady phase, reference warm-start collapse)
+        # single-shot alpha=1 (steady phase, reference warm-start collapse);
+        # the steady phase may run a reduced QP budget (dual warm-starting)
+        self._steady_qp_params = (config.qp_params if steady_qp_params is None
+                                  else steady_qp_params)
         self._mk_warm = mk(dataclasses.replace(config, single_shot=False,
                                                sqp_unroll=warm_sqp_iters))
         self._mk_steady = mk(dataclasses.replace(config, single_shot=True,
-                                                 sqp_unroll=1))
+                                                 sqp_unroll=1,
+                                                 qp_params=self._steady_qp_params))
         self._programs = self._build_programs()
 
     def _build_programs(self):
@@ -181,10 +202,10 @@ class HostLoopMPC:
                 tree,
             )
 
-        def init_prog(carry_s):
+        def init_prog(carry_s, duals):
             carry = merge_cx(carry_s)
             step0 = self._mk_steady(None, None)  # sqp_init needs no costs
-            s = jax.vmap(step0.sqp_init)(carry)
+            s = jax.vmap(step0.sqp_init)(carry, duals)
             return resplit(s)
 
         # NOTE: the model state is kept PER-LANE (leading batch axis) through
@@ -259,8 +280,9 @@ class HostLoopMPC:
             (sqp_init + n_iters vmapped SQP iterations + advance) in one
             dispatch. Built from the same pieces as the per-program path -
             including do_advance, so plant_impl="pallas" is honored here
-            too."""
-            def prog(carry_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
+            too. The QP dual warm-start (y, rho) flows between the fused
+            steps in-graph and in/out of the program at its boundary."""
+            def prog(carry_s, duals, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
                 carry = merge_cx(carry_s)
                 plants = merge_cx(plants_s)
                 model = merge_cx(model_s)
@@ -274,13 +296,14 @@ class HostLoopMPC:
                 outs = None
                 for j in range(k):
                     stp = step + j
-                    s = jax.vmap(step_fn.sqp_init)(carry)
+                    s = jax.vmap(step_fn.sqp_init)(carry, duals)
                     for _ in range(n_iters):
                         s = jax.vmap(
                             lambda c, si, p, m: step_fn.sqp_iter(si, c, stp, p, m, Xtc, Utc),
                             in_axes=(0, 0, 0, 0))(carry, s, plants, model)
                     carry, model, outs = do_advance(carry, s, stp, plants, model,
                                                     Xtc, Utc, Q_s, R_s)
+                    duals = outs[5]
                 return resplit((carry, model, outs))
             return jax.jit(prog)
 
@@ -291,22 +314,10 @@ class HostLoopMPC:
         # warm-started, rho-rebalanced fixed-iteration ADMM as
         # solve_boxqp_fixed and its acceptance rule, so qp_impl="pallas" and
         # qp_backend="ns" are interchangeable.
-        qp = self.config.qp_params
-        # python scalars extracted at build time: struct-dataclass leaves
-        # closed over inside jit become tracers, which pallas kernels must
-        # receive as static parameters
-        qp_iters = int(qp.max_iter)
-        qp_rounds = int(qp.n_rounds)
-        qp_rho0 = float(qp.rho0)
-        qp_sigma = float(qp.sigma)
-        qp_alpha = float(qp.alpha)
-        qp_eps_abs = float(qp.eps_abs)
-        qp_eps_rel = float(qp.eps_rel)
-        qp_acc_abs = float(qp.accept_abs)
-        qp_acc_rel = float(qp.accept_rel)
         cfgH = self.config.horizon
+        warm_duals = self.config.qp_warm_duals
 
-        def pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
+        def pallas_sqp_iter(step_fn, Q_s, R_s, single_shot, qp,
                             carry, s, step, plants, model, Xtc, Utc):
             """One fleet SQP iteration via the QP kernel (merged domain).
 
@@ -314,11 +325,21 @@ class HostLoopMPC:
             sublane-packed kernel at n <= 16 (flagship-sized - flat FMA
             chain, 8x lane packing), the looped large-n kernel beyond
             (boxqp_pallas_big - covers every preset up to cnot's n = 150
-            at its full ADMM budget)."""
+            at its full ADMM budget). `qp` is the phase's BoxQPParams
+            (steady programs may run a reduced dual-warm-started budget);
+            python scalars are extracted here because struct-dataclass
+            leaves closed over inside jit become tracers, which pallas
+            kernels must receive as static parameters."""
             from ..ops.pallas_qp import boxqp_pallas, boxqp_pallas_big, boxqp_accept
             from ..ops.bilinear import model_along_traj
             from ..solvers.condense import qp_data, qp_finish, QPResult
             from .driver import sqp_update_from_qp
+
+            qp_iters = int(qp.max_iter)
+            qp_rounds = int(qp.n_rounds)
+            qp_rho0 = float(qp.rho0)
+            qp_sigma = float(qp.sigma)
+            qp_alpha = float(qp.alpha)
 
             def pre(c, si, p, m):
                 X_ref, U_ref, bm, lift_x, u_prev, _ = step_fn.context(
@@ -335,32 +356,50 @@ class HostLoopMPC:
             Ug = s[1]
             U_warm = jnp.swapaxes(Ug, 1, 2).reshape(Ug.shape[0], -1)
 
-            # fleet-batched kernel solve (the hot op)
-            solve = boxqp_pallas if P.shape[-1] <= 16 else boxqp_pallas_big
+            # fleet-batched kernel solve (the hot op); with qp_warm_duals the
+            # carried (y, rho) from the previous solve seed the ADMM
+            n_qp = P.shape[-1]
+            kind = self.qp_kernel
+            if kind == "auto":
+                kind = "small" if n_qp <= 16 else "big"
+            if kind == "small" and n_qp > 16:
+                raise ValueError(
+                    f"qp_kernel='small' is fully unrolled and uncompilable at "
+                    f"n_qp={n_qp} (> 16); use 'big'/'big_unroll'/'auto'")
+            extra = {} if kind == "small" else {
+                "unroll_iters": kind == "big_unroll"}
+            solve = boxqp_pallas if kind == "small" else boxqp_pallas_big
+            # carried duals seed single-shot (steady) solves only - warm-phase
+            # SQP iterations run cold (see mpc/driver.py sqp_iter rationale)
+            use_duals = warm_duals and single_shot
             Uvec, aux = solve(P, q, lb, ub, x0=U_warm,
+                              y0=s[8] if use_duals else None,
+                              rho0=s[9] if use_duals else None,
                               iters=qp_iters, rounds=qp_rounds,
                               rho_scale=qp_rho0, sigma=qp_sigma,
                               alpha=qp_alpha,
+                              eps_abs=float(qp.eps_abs), eps_rel=float(qp.eps_rel),
+                              acc_abs=float(qp.accept_abs), acc_rel=float(qp.accept_rel),
                               interpret=self.pallas_interpret,
-                              return_aux=True)
+                              return_aux=True, **extra)
             Uvec = Uvec.astype(P.dtype)
-            conv = boxqp_accept(aux, qp_eps_abs, qp_eps_rel,
-                                qp_acc_abs, qp_acc_rel)
+            conv = boxqp_accept(aux, float(qp.eps_abs), float(qp.eps_rel),
+                                float(qp.accept_abs), float(qp.accept_rel))
 
-            def post(si, Uv, ok, wi, Mi, X_ref_i, U_ref_i):
+            def post(si, Uv, ok, y_i, rho_i, wi, Mi, X_ref_i, U_ref_i):
                 X_opt, U_opt, obj = qp_finish(wi, Mi, Uv, X_ref_i, U_ref_i, Q_s, R_s)
                 res = QPResult(X=X_opt, U=U_opt, obj=obj,
                                iters=jnp.asarray(qp_iters * qp_rounds),
-                               converged=ok)
+                               converged=ok, y=y_i, rho=rho_i)
                 s_new = sqp_update_from_qp(si, res, X_ref_i, U_ref_i, Q_s, R_s,
                                            jnp.asarray(single_shot),
                                            self.config.step_tol)
                 done_prev = si[6]
                 return tuple(jnp.where(done_prev, a, b) for a, b in zip(si, s_new))
 
-            return jax.vmap(post)(s, Uvec, conv, w, M, X_ref, U_ref)
+            return jax.vmap(post)(s, Uvec, conv, aux.y, aux.rho, w, M, X_ref, U_ref)
 
-        def make_iter_pallas(mk, single_shot: bool):
+        def make_iter_pallas(mk, single_shot: bool, qp):
             def prog(carry_s, s_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
                 carry = merge_cx(carry_s)
                 s = merge_cx(s_s)
@@ -371,19 +410,21 @@ class HostLoopMPC:
                 Qf = merge_cx(Qf_s_)
                 Q_s, R_s = costs(Q, R_, Qf)
                 step_fn = mk(Q_s, R_s)
-                s_new = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
+                s_new = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot, qp,
                                         carry, s, step, plants, model,
                                         jnp.asarray(Xt, Q.dtype), jnp.asarray(Ut))
                 return resplit(s_new)
 
             return jax.jit(prog)
 
-        def make_step_pallas(mk, single_shot: bool, n_iters: int, k: int = 1):
+        def make_step_pallas(mk, single_shot: bool, qp, n_iters: int, k: int = 1):
             """Fused k-step program on the Pallas QP path: k repetitions of
             (sqp_init + n_iters kernel-solved SQP iterations + advance) in
             ONE dispatch (the steady state collapses to n_iters=1, so each
-            steady step chunk is a single program launch)."""
-            def prog(carry_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
+            steady step chunk is a single program launch). The QP dual
+            warm-start (y, rho) flows between fused steps in-graph and
+            in/out of the program at its boundary."""
+            def prog(carry_s, duals, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
                 carry = merge_cx(carry_s)
                 plants = merge_cx(plants_s)
                 model = merge_cx(model_s)
@@ -397,12 +438,13 @@ class HostLoopMPC:
                 outs = None
                 for j in range(k):
                     stp = step + j
-                    s = jax.vmap(step_fn.sqp_init)(carry)
+                    s = jax.vmap(step_fn.sqp_init)(carry, duals)
                     for _ in range(n_iters):
-                        s = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
+                        s = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot, qp,
                                             carry, s, stp, plants, model, Xtc, Utc)
                     carry, model, outs = do_advance(carry, s, stp, plants, model,
                                                     Xtc, Utc, Q_s, R_s)
+                    duals = outs[5]
                 return resplit((carry, model, outs))
 
             return jax.jit(prog)
@@ -411,23 +453,28 @@ class HostLoopMPC:
             "init": jax.jit(init_prog),
             "advance": jax.jit(adv_prog),
         }
+        qp_warm = self.config.qp_params
+        qp_steady = self._steady_qp_params
         if self.qp_impl == "pallas":
-            progs["iter_warm"] = make_iter_pallas(self._mk_warm, single_shot=False)
-            progs["iter_steady"] = make_iter_pallas(self._mk_steady, single_shot=True)
+            progs["iter_warm"] = make_iter_pallas(self._mk_warm,
+                                                  single_shot=False, qp=qp_warm)
+            progs["iter_steady"] = make_iter_pallas(self._mk_steady,
+                                                    single_shot=True, qp=qp_steady)
         else:
             progs["iter_warm"] = make_iter(self._mk_warm)
             progs["iter_steady"] = make_iter(self._mk_steady)
         if self.granularity in ("step", "mixed"):
             if self.qp_impl == "pallas":
                 progs["step_steady"] = make_step_pallas(self._mk_steady,
-                                                        single_shot=True, n_iters=1)
+                                                        single_shot=True,
+                                                        qp=qp_steady, n_iters=1)
                 if self.steady_fuse > 1:
                     progs["step_steady_k"] = make_step_pallas(
-                        self._mk_steady, single_shot=True, n_iters=1,
-                        k=self.steady_fuse)
+                        self._mk_steady, single_shot=True, qp=qp_steady,
+                        n_iters=1, k=self.steady_fuse)
                 if self.granularity == "step":
                     progs["step_warm"] = make_step_pallas(
-                        self._mk_warm, single_shot=False,
+                        self._mk_warm, single_shot=False, qp=qp_warm,
                         n_iters=self.warm_sqp_iters)
             else:
                 progs["step_steady"] = make_step(self._mk_steady, n_iters=1)
@@ -488,6 +535,13 @@ class HostLoopMPC:
         progs = self._programs
         model_s = args[1]
 
+        # QP dual warm-start carriers, device-resident between dispatches
+        # (cold zeros; rho = 0 is the "solver default" sentinel). Inert
+        # unless cfg.qp_warm_duals - the programs then seed each solve from
+        # the previous one's shifted (y, rho).
+        rdt = x0.real.dtype
+        duals = (np.zeros((B, cfg.dim_u * H), rdt), np.zeros((B,), rdt))
+
         per_step = []
         step = 0
         while step < cfg.n_steps:
@@ -501,21 +555,23 @@ class HostLoopMPC:
             if (fused and not warm and not record and k > 1
                     and step + k <= cfg.n_steps):
                 carry, model_s, outs = progs["step_steady_k"](
-                    carry, step_arr, args[0], model_s, *args[2:])
+                    carry, duals, step_arr, args[0], model_s, *args[2:])
+                duals = outs[5]
                 step += k
                 continue
             if fused:
                 prog = progs["step_warm"] if warm else progs["step_steady"]
-                carry, model_s, outs = prog(carry, step_arr, args[0], model_s,
-                                            *args[2:])
+                carry, model_s, outs = prog(carry, duals, step_arr, args[0],
+                                            model_s, *args[2:])
             else:
                 it_prog = progs["iter_warm"] if warm else progs["iter_steady"]
                 n_it = self.warm_sqp_iters if warm else 1
-                s = progs["init"](carry)
+                s = progs["init"](carry, duals)
                 for _ in range(n_it):
                     s = it_prog(carry, s, step_arr, args[0], model_s, *args[2:])
                 carry, model_s, outs = progs["advance"](carry, s, step_arr, args[0],
                                                         model_s, *args[2:])
+            duals = outs[5]
             if record:
                 per_step.append(outs)
             step += 1

@@ -39,9 +39,12 @@ _LANE = 128
 _AUX_ROWS = 8
 
 
-def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, x_ref, aux_ref, *,
+def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, y0_ref, rho0_ref,
+               x_ref, aux_ref, y_ref, *,
                n: int, iters: int, rounds: int,
-               rho_scale: float, sigma: float, alpha: float, pack: int):
+               rho_scale: float, sigma: float, alpha: float, pack: int,
+               eps_abs: float, eps_rel: float,
+               acc_abs: float, acc_rel: float):
     # batch packed over (pack sublanes x lanes): logical row i is the
     # (pack, TB) block at physical rows [i*pack, (i+1)*pack) - every
     # multiply-add fills the full (8, 128) f32 VPU tile instead of 1/8 of it
@@ -53,13 +56,18 @@ def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, x_ref, aux_ref, *,
 
     # rho per lane: rho_scale * mean(diag P), exactly as the XLA path
     # (solvers/boxqp.py:207-208; no extra floor - parity requires identical
-    # iterates)
+    # iterates). A carried rho0 > 0 (dual warm-start across an MPC step
+    # sequence) overrides the cold default, clipped to the adaptation range
+    # - mirrors solvers/boxqp._warm_rho.
     diag_sum = None
     for i in range(n):
         d = P[i * n + i]
         diag_sum = d if diag_sum is None else diag_sum + d
     diag_scale = jnp.maximum(diag_sum / float(n), 1e-12)
-    rho = rho_scale * diag_scale
+    rho0 = row(rho0_ref, 0)
+    rho = jnp.where(rho0 > 0,
+                    jnp.clip(rho0, 1e-8 * diag_scale, 1e8 * diag_scale),
+                    rho_scale * diag_scale)
 
     def inverse_of_K(rho):
         """[K | I] -> [I | K^-1] by unpivoted Gauss-Jordan, K = P+(sigma+rho)I."""
@@ -98,10 +106,11 @@ def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, x_ref, aux_ref, *,
             m = jnp.maximum(m, jnp.abs(r))
         return m
 
-    # warm start, clipped into the box (solvers/boxqp.py:209-211)
+    # warm start, clipped into the box (solvers/boxqp.py:209-211); the dual
+    # starts from the carried y0 (zeros = the cold default)
     x = [jnp.minimum(jnp.maximum(row(x0_ref, i), lb[i]), ub[i]) for i in range(n)]
     z = list(x)
-    y = [jnp.zeros_like(rho) for _ in range(n)]
+    y = [row(y0_ref, i) for i in range(n)]
 
     prim = dual = xmax = zmax = pxmax = ymax = jnp.zeros_like(rho)
     qmax = maxabs(q)
@@ -116,20 +125,31 @@ def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, x_ref, aux_ref, *,
                  for i in range(n)]
             y = [y[i] + rho * (z_arg[i] - z[i]) for i in range(n)]
 
-        # residuals + OSQP rho rebalancing (solvers/boxqp.py:245-252)
+        # residuals + OSQP rho rebalancing, frozen once the iterates pass
+        # the acceptance rule - the exact mirror of solve_boxqp_fixed
+        # (solvers/boxqp.py): a healthy solve carries its working rho
+        # forward unchanged (the dual warm-start value for the next MPC
+        # solve), a struggling one adapts, after the final round too.
         Px = matvec(P, x)
         prim = maxabs([x[i] - z[i] for i in range(n)])
         dual = maxabs([Px[i] + q[i] + y[i] for i in range(n)])
         xmax, zmax = maxabs(x), maxabs(z)
         pxmax, ymax = maxabs(Px), maxabs(y)
-        if rnd + 1 < rounds:
-            prim_s = prim / jnp.maximum(jnp.maximum(xmax, zmax), 1e-12)
-            dual_s = dual / jnp.maximum(jnp.maximum(pxmax, jnp.maximum(qmax, ymax)), 1e-12)
-            ratio = jnp.sqrt(prim_s / jnp.maximum(dual_s, 1e-16))
-            rho = jnp.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale)
+        ep = eps_abs + eps_rel * jnp.maximum(xmax, zmax)
+        ed = eps_abs + eps_rel * jnp.maximum(pxmax, jnp.maximum(qmax, ymax))
+        ap = acc_abs + acc_rel * jnp.maximum(xmax, zmax)
+        ad = acc_abs + acc_rel * jnp.maximum(pxmax, jnp.maximum(qmax, ymax))
+        accepted = jnp.logical_and(prim <= jnp.maximum(ep, ap),
+                                   dual <= jnp.maximum(ed, ad))
+        prim_s = prim / jnp.maximum(jnp.maximum(xmax, zmax), 1e-12)
+        dual_s = dual / jnp.maximum(jnp.maximum(pxmax, jnp.maximum(qmax, ymax)), 1e-12)
+        ratio = jnp.sqrt(prim_s / jnp.maximum(dual_s, 1e-16))
+        rho = jnp.where(accepted, rho,
+                        jnp.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale))
 
     for i in range(n):
         x_ref[i * pack : (i + 1) * pack, :] = z[i]
+        y_ref[i * pack : (i + 1) * pack, :] = y[i]
     for r, v in enumerate((prim, dual, xmax, zmax, pxmax, qmax, ymax, rho)):
         aux_ref[r * pack : (r + 1) * pack, :] = v
 
@@ -142,7 +162,8 @@ class BoxQPPallasAux(NamedTuple):
     pxmax: jnp.ndarray
     qmax: jnp.ndarray
     ymax: jnp.ndarray
-    rho: jnp.ndarray
+    rho: jnp.ndarray    # (B,) final (post-rebalance) penalty - warm value
+    y: jnp.ndarray = None  # (B, n) final dual - warm value for the next solve
 
 
 def boxqp_accept(aux: BoxQPPallasAux, eps_abs: float, eps_rel: float,
@@ -160,11 +181,15 @@ def boxqp_accept(aux: BoxQPPallasAux, eps_abs: float, eps_rel: float,
 @functools.partial(jax.jit, static_argnames=("iters", "rounds", "tile_b",
                                              "interpret", "return_aux",
                                              "rho_scale", "sigma", "alpha",
-                                             "sublanes"))
+                                             "sublanes", "eps_abs", "eps_rel",
+                                             "acc_abs", "acc_rel"))
 def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                  rho_scale: float = 0.1, sigma: float = 1e-6, alpha: float = 1.6,
                  tile_b: int = 256, interpret: bool = False,
-                 return_aux: bool = False, sublanes: int = 8):
+                 return_aux: bool = False, sublanes: int = 8,
+                 y0=None, rho0=None,
+                 eps_abs: float = 1e-6, eps_rel: float = 1e-6,
+                 acc_abs: float = 1e-3, acc_rel: float = 1e-3):
     """Solve a batch of box QPs with the fused lane-batched kernel.
 
     :param P: (B, n, n) SPD matrices (f32); n <= ~16 (fully unrolled).
@@ -175,8 +200,12 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     :param sublanes: batch-packing factor across the sublane dimension -
         each logical row becomes a (sublanes, lanes) block so VPU tiles are
         fully utilized (8 = the f32 tile height; 1 = lanes-only layout).
+    :param y0: optional (B, n) dual warm start (zeros = cold).
+    :param rho0: optional (B,) penalty warm start; lanes <= 0 use the cold
+        rho_scale * mean(diag P) default (solvers/boxqp._warm_rho semantics).
     :return: (B, n) box-feasible solutions; with return_aux=True, a
-        (solutions, BoxQPPallasAux) pair for acceptance checks.
+        (solutions, BoxQPPallasAux) pair for acceptance checks and dual
+        warm-starting (aux.y, aux.rho).
     """
     P = jnp.asarray(P, jnp.float32)
     # symmetrize like the XLA path (solvers/boxqp.py:203) so iterates and
@@ -206,38 +235,39 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     ub_in = pack(jnp.full((n, Bp), 1.0, jnp.float32).at[:, :B].set(
         jnp.asarray(ub, jnp.float32).T))
     x0_in = pack(jnp.zeros((n, Bp), jnp.float32) if x0 is None else pad(x0, n))
+    y0_in = pack(jnp.zeros((n, Bp), jnp.float32) if y0 is None else pad(y0, n))
+    # rho0 sentinel 0 = cold default (padded lanes always cold)
+    rho0_in = pack(jnp.zeros((1, Bp), jnp.float32) if rho0 is None
+                   else jnp.zeros((1, Bp), jnp.float32).at[0, :B].set(
+                       jnp.asarray(rho0, jnp.float32)))
     # padded P lanes are zero with q = x0 = 0 -> K = (sigma + rho_pad) I
     # with rho_pad = rho_scale * 1e-12 (diag_scale floor): x/z/y stay
     # exactly 0 through every iteration - benign
 
     kernel = functools.partial(_qp_kernel, n=n, iters=iters, rounds=rounds,
                                rho_scale=rho_scale, sigma=sigma, alpha=alpha,
-                               pack=S)
-    out, aux = pl.pallas_call(
+                               pack=S, eps_abs=eps_abs, eps_rel=eps_rel,
+                               acc_abs=acc_abs, acc_rel=acc_rel)
+    vec = lambda rows: pl.BlockSpec((rows * S, tb), lambda b: (0, b),
+                                    memory_space=pltpu.VMEM)
+    out, aux, yout = pl.pallas_call(
         kernel,
         grid=(W // tb,),
-        in_specs=[
-            pl.BlockSpec((n * n * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((n * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_AUX_ROWS * S, tb), lambda b: (0, b), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[vec(n * n), vec(n), vec(n), vec(n), vec(n), vec(n), vec(1)],
+        out_specs=[vec(n), vec(_AUX_ROWS), vec(n)],
         out_shape=[
             jax.ShapeDtypeStruct((n * S, W), jnp.float32),
             jax.ShapeDtypeStruct((_AUX_ROWS * S, W), jnp.float32),
+            jax.ShapeDtypeStruct((n * S, W), jnp.float32),
         ],
         interpret=interpret,
-    )(p_in, q_in, lb_in, ub_in, x0_in)
+    )(p_in, q_in, lb_in, ub_in, x0_in, y0_in, rho0_in)
     x_out = out.reshape(n, Bp)[:, :B].T
     if not return_aux:
         return x_out
     a = aux.reshape(_AUX_ROWS, Bp)[:, :B]
-    return x_out, BoxQPPallasAux(*[a[r] for r in range(_AUX_ROWS)])
+    y_out = yout.reshape(n, Bp)[:, :B].T
+    return x_out, BoxQPPallasAux(*[a[r] for r in range(_AUX_ROWS)], y=y_out)
 
 
 # ---------------------------------------------------------------------------
@@ -270,34 +300,52 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
 
 def _admm_loop_kernel(kinv_ref, q_ref, lb_ref, ub_ref, rho_ref,
                       x_ref, z_ref, y_ref, xo_ref, zo_ref, yo_ref, *,
-                      n: int, iters: int, sigma: float, alpha: float):
+                      n: int, iters: int, sigma: float, alpha: float,
+                      unroll: bool = False):
     """`iters` relaxed-ADMM iterations for a (n, LANES) lane block.
 
     kinv_ref is COLUMN-major: kinv_ref[j] = Kinv[:, j] per lane, so the
     x-update is a running (n, LANES) FMA over columns with no per-row
     scatter. rho_ref is a (1, LANES) per-lane row, broadcast over n.
+
+    unroll=True flattens both loops into a static FMA chain (no fori_loop,
+    no dynamic_slice): at small n * iters this is the proven-to-lower form
+    on TPU backends whose loop lowerings are limited, and with the inverse
+    already outside the kernel the program is ~2x shorter than the
+    in-kernel Gauss-Jordan form (`_qp_kernel`) at the same budget - the
+    serial-latency lever for the flagship-sized QPs.
     """
     q = q_ref[:]
     lb = lb_ref[:]
     ub = ub_ref[:]
     rho = rho_ref[:]  # (1, LANES)
 
-    def body(_, xzy):
+    def body(xzy):
         x, z, y = xzy
         rhs = sigma * x - q + rho * z - y
+        if unroll:
+            x_t = None
+            for j in range(n):
+                t = kinv_ref[j] * rhs[j : j + 1, :]
+                x_t = t if x_t is None else x_t + t
+        else:
+            def col(j, acc):
+                rj = jax.lax.dynamic_slice(rhs, (j, 0), (1, rhs.shape[1]))
+                return acc + kinv_ref[j] * rj
 
-        def col(j, acc):
-            rj = jax.lax.dynamic_slice(rhs, (j, 0), (1, rhs.shape[1]))
-            return acc + kinv_ref[j] * rj
-
-        x_t = jax.lax.fori_loop(0, n, col, jnp.zeros_like(rhs))
+            x_t = jax.lax.fori_loop(0, n, col, jnp.zeros_like(rhs))
         z_arg = alpha * x_t + (1.0 - alpha) * z
         z_new = jnp.minimum(jnp.maximum(z_arg + y / rho, lb), ub)
         y_new = y + rho * (z_arg - z_new)
         return (x_t, z_new, y_new)
 
-    x, z, y = jax.lax.fori_loop(
-        0, iters, body, (x_ref[:], z_ref[:], y_ref[:]))
+    xzy = (x_ref[:], z_ref[:], y_ref[:])
+    if unroll:
+        for _ in range(iters):
+            xzy = body(xzy)
+        x, z, y = xzy
+    else:
+        x, z, y = jax.lax.fori_loop(0, iters, lambda _, s: body(s), xzy)
     xo_ref[:] = x
     zo_ref[:] = z
     yo_ref[:] = y
@@ -305,7 +353,7 @@ def _admm_loop_kernel(kinv_ref, q_ref, lb_ref, ub_ref, rho_ref,
 
 def _admm_iters_lanes(Kinv, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l,
                       iters: int, sigma: float, alpha: float,
-                      interpret: bool):
+                      interpret: bool, unroll: bool = False):
     """Dispatch the looped kernel over lane tiles.
 
     All operands lane-last: Kinv (B, n, n) batch-first (transposed here),
@@ -322,7 +370,7 @@ def _admm_iters_lanes(Kinv, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l,
     # column-major lane layout: kinv_l[j, i, b] = Kinv[b, i, j]
     kinv_l = jnp.transpose(Kinv, (2, 1, 0))
     kernel = functools.partial(_admm_loop_kernel, n=n, iters=iters,
-                               sigma=sigma, alpha=alpha)
+                               sigma=sigma, alpha=alpha, unroll=unroll)
     n_tiles = Bp // _LANE
     block_bytes = n * n * _LANE * 4
 
@@ -362,11 +410,18 @@ def _admm_iters_lanes(Kinv, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l,
 
 @functools.partial(jax.jit, static_argnames=("iters", "rounds", "ns_iters",
                                              "rho_scale", "sigma", "alpha",
-                                             "interpret", "return_aux"))
+                                             "interpret", "return_aux",
+                                             "eps_abs", "eps_rel",
+                                             "acc_abs", "acc_rel",
+                                             "unroll_iters"))
 def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      rho_scale: float = 0.1, sigma: float = 1e-6,
                      alpha: float = 1.6, ns_iters: int = 30,
-                     interpret: bool = False, return_aux: bool = False):
+                     interpret: bool = False, return_aux: bool = False,
+                     y0=None, rho0=None,
+                     eps_abs: float = 1e-6, eps_rel: float = 1e-6,
+                     acc_abs: float = 1e-3, acc_rel: float = 1e-3,
+                     unroll_iters: bool = False):
     """Batch box-QP solve with the looped large-n kernel.
 
     Same algorithm and acceptance semantics as `boxqp_pallas` and
@@ -379,6 +434,12 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     :param P: (B, n, n) SPD matrices (f32); any n (kernel loops, program
         size is independent of n and iters).
     :param q, lb, ub, x0: (B, n).
+    :param unroll_iters: flatten the in-kernel ADMM loop into a static FMA
+        chain (small n * iters only). With the inverse outside the kernel
+        this is the shortest-serial-chain form for flagship-sized QPs:
+        ~iters * n ops per round vs the in-kernel Gauss-Jordan form's
+        additional ~2 n^3 - and the proven-to-lower form on TPU backends
+        with limited in-kernel loop support.
     :return: (B, n) solutions; with return_aux=True, (x, BoxQPPallasAux).
     """
     P = jnp.asarray(P, jnp.float32)
@@ -388,12 +449,14 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     q, lb, ub = f32(q), f32(lb), f32(ub)
     x0 = jnp.zeros((B, n), jnp.float32) if x0 is None else f32(x0)
 
+    from ..solvers.boxqp import _warm_rho
+
     diag_scale = jnp.maximum(
         jnp.mean(jnp.diagonal(P, axis1=1, axis2=2), axis=1), 1e-12)  # (B,)
-    rho = rho_scale * diag_scale
+    rho = _warm_rho(rho0, rho_scale * diag_scale, diag_scale)
     x = jnp.clip(x0, lb, ub)
     z = x
-    y = jnp.zeros_like(x)
+    y = jnp.zeros_like(x) if y0 is None else f32(y0)
 
     # pad the batch to a lane multiple with benign identity QPs (q = 0,
     # x0 = 0 -> the padded lanes stay exactly 0 through every iteration)
@@ -424,21 +487,32 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
         x_l, z_l, y_l = _admm_iters_lanes(
             Kinv, lanes(q_p), lanes(lb_p), lanes(ub_p), rho_p[None, :],
             lanes(x_p), lanes(z_p), lanes(y_p),
-            iters=iters, sigma=sigma, alpha=alpha, interpret=interpret)
+            iters=iters, sigma=sigma, alpha=alpha, interpret=interpret,
+            unroll=unroll_iters)
         x_p, z_p, y_p = x_l.T, z_l.T, y_l.T
 
-        if rnd + 1 < rounds:
-            # OSQP residual balancing (solvers/boxqp.py:245-252)
-            Px = jnp.einsum("bij,bj->bi", P_p, x_p)
-            prim = inf_rows(x_p - z_p)
-            dual = inf_rows(Px + q_p + y_p)
-            prim_s = prim / jnp.maximum(
-                jnp.maximum(inf_rows(x_p), inf_rows(z_p)), 1e-12)
-            dual_s = dual / jnp.maximum(
-                jnp.maximum(inf_rows(Px),
-                            jnp.maximum(inf_rows(q_p), inf_rows(y_p))), 1e-12)
-            ratio = jnp.sqrt(prim_s / jnp.maximum(dual_s, 1e-16))
-            rho_p = jnp.clip(rho_p * ratio, 1e-8 * ds_p, 1e8 * ds_p)
+        # OSQP residual balancing, frozen once the iterates pass the
+        # acceptance rule - the exact mirror of solve_boxqp_fixed: a healthy
+        # solve carries its working rho forward unchanged (the dual
+        # warm-start value for the next MPC solve), a struggling one adapts,
+        # after the final round too (solvers/boxqp.py rho-adaptation block)
+        Px = jnp.einsum("bij,bj->bi", P_p, x_p)
+        prim = inf_rows(x_p - z_p)
+        dual = inf_rows(Px + q_p + y_p)
+        xmax = jnp.maximum(inf_rows(x_p), inf_rows(z_p))
+        dmax = jnp.maximum(inf_rows(Px),
+                           jnp.maximum(inf_rows(q_p), inf_rows(y_p)))
+        ep = eps_abs + eps_rel * xmax
+        ed = eps_abs + eps_rel * dmax
+        ap = acc_abs + acc_rel * xmax
+        ad = acc_abs + acc_rel * dmax
+        accepted = jnp.logical_and(prim <= jnp.maximum(ep, ap),
+                                   dual <= jnp.maximum(ed, ad))
+        prim_s = prim / jnp.maximum(xmax, 1e-12)
+        dual_s = dual / jnp.maximum(dmax, 1e-12)
+        ratio = jnp.sqrt(prim_s / jnp.maximum(dual_s, 1e-16))
+        rho_p = jnp.where(accepted, rho_p,
+                          jnp.clip(rho_p * ratio, 1e-8 * ds_p, 1e8 * ds_p))
 
     x_out = z_p[:B]
     if not return_aux:
@@ -448,4 +522,4 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     return x_out, BoxQPPallasAux(
         prim=inf_rows(xb - zb), dual=inf_rows(Px + qb + yb),
         xmax=inf_rows(xb), zmax=inf_rows(zb), pxmax=inf_rows(Px),
-        qmax=inf_rows(qb), ymax=inf_rows(yb), rho=rho_p[:B])
+        qmax=inf_rows(qb), ymax=inf_rows(yb), rho=rho_p[:B], y=yb)

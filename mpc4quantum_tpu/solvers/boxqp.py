@@ -59,9 +59,25 @@ class BoxQPResult(NamedTuple):
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
     converged: jnp.ndarray  # bool
+    rho: jnp.ndarray = None  # final ADMM penalty (for dual warm-starting)
 
 
-def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None) -> BoxQPResult:
+def _warm_rho(rho0, default, diag_scale):
+    """Resolve the warm-start penalty: rho0 > 0 uses the carried value
+    (clipped to the adaptation range), rho0 None/<=0 falls back to the cold
+    default. MPC solves a sequence of nearly identical QPs, so carrying the
+    rebalanced rho (and the dual y) from the previous solve skips the
+    rebalancing rounds a cold start needs - the chain-shortening lever for
+    the latency-bound TPU kernels."""
+    if rho0 is None:
+        return default
+    rho0 = jnp.asarray(rho0, default.dtype)
+    warm = jnp.clip(rho0, 1e-8 * diag_scale, 1e8 * diag_scale)
+    return jnp.where(rho0 > 0, warm, default)
+
+
+def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
+                y0=None, rho0=None) -> BoxQPResult:
     """ADMM solve of the box QP. All args are device arrays; `params` fields
     are data except the static iteration bounds.
 
@@ -69,6 +85,9 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None) -> Box
     :param q: (n,) linear term.
     :param lb, ub: (n,) bounds (may be +-inf).
     :param x0: optional warm start.
+    :param y0: optional (n,) dual warm start (zeros = the cold default).
+    :param rho0: optional scalar penalty warm start; values <= 0 (or None)
+        fall back to params.rho0 * mean(diag P).
     """
     if params is None:
         params = BoxQPParams()
@@ -80,10 +99,10 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None) -> Box
 
     # initial rho scaled to the problem's curvature
     diag_scale = jnp.maximum(jnp.mean(jnp.diag(P)), 1e-12)
-    rho_init = params.rho0 * diag_scale
+    rho_init = _warm_rho(rho0, params.rho0 * diag_scale, diag_scale)
 
     x_init = jnp.clip(jnp.zeros(n, dtype=dtype) if x0 is None else x0, lb, ub)
-    y_init = jnp.zeros(n, dtype=dtype)
+    y_init = jnp.zeros(n, dtype=dtype) if y0 is None else jnp.asarray(y0, dtype)
 
     inf_norm = lambda v: jnp.max(jnp.abs(v))
 
@@ -152,7 +171,8 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None) -> Box
     converged = jnp.logical_and(prim <= jnp.maximum(ep, acc_p),
                                 dual <= jnp.maximum(ed, acc_d))
     # Return the projected iterate: always box-feasible.
-    return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual, converged=converged)
+    return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual,
+                       converged=converged, rho=rho)
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +202,8 @@ def ns_inverse(K, iters: int = 30):
 
 
 def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
-                      unroll: bool = True, ns_iters: int = 30) -> BoxQPResult:
+                      unroll: bool = True, ns_iters: int = 30,
+                      y0=None, rho0=None) -> BoxQPResult:
     """ADMM box-QP with a FIXED iteration schedule and a Newton-Schulz
     inverse in place of the Cholesky factorization.
 
@@ -205,10 +226,10 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     eye = jnp.eye(n, dtype=dtype)
 
     diag_scale = jnp.maximum(jnp.mean(jnp.diag(P)), 1e-12)
-    rho_init = params.rho0 * diag_scale
+    rho_init = _warm_rho(rho0, params.rho0 * diag_scale, diag_scale)
     x = jnp.clip(jnp.zeros(n, dtype=dtype) if x0 is None else x0, lb, ub)
     z = x
-    y = jnp.zeros(n, dtype=dtype)
+    y = jnp.zeros(n, dtype=dtype) if y0 is None else jnp.asarray(y0, dtype)
     rho = jnp.asarray(rho_init, dtype)
 
     inf_norm = lambda v: jnp.max(jnp.abs(v))
@@ -242,14 +263,28 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         else:
             (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=params.max_iter)
 
-        # rho adaptation between rounds (same balancing rule as solve_boxqp)
-        prim, dual, _, _ = residuals(x, z, y)
+        # rho adaptation (OSQP residual balancing), FROZEN once the iterates
+        # pass the acceptance rule: rebalancing on already-converged
+        # residuals is a noise-driven multiplicative random walk that drives
+        # rho out of the stable band - measured failure mode of dual/rho
+        # warm-starting across an MPC step sequence. A healthy solve carries
+        # its working rho forward unchanged; a struggling one adapts - after
+        # the final round too, so a failed solve hands the next one an
+        # adapted value.
+        prim, dual, ep, ed = residuals(x, z, y)
+        acc_p = params.accept_abs + params.accept_rel * jnp.maximum(inf_norm(x), inf_norm(z))
+        acc_d = params.accept_abs + params.accept_rel * jnp.maximum(
+            jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
+        )
+        accepted = jnp.logical_and(prim <= jnp.maximum(ep, acc_p),
+                                   dual <= jnp.maximum(ed, acc_d))
         prim_scaled = prim / jnp.maximum(jnp.maximum(inf_norm(x), inf_norm(z)), 1e-12)
         dual_scaled = dual / jnp.maximum(
             jnp.maximum(inf_norm(P @ x), jnp.maximum(inf_norm(q), inf_norm(y))), 1e-12
         )
         ratio = jnp.sqrt(prim_scaled / jnp.maximum(dual_scaled, 1e-16))
-        rho = jnp.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale)
+        rho = jnp.where(accepted, rho,
+                        jnp.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale))
 
     prim, dual, ep, ed = residuals(x, z, y)
     acc_p = params.accept_abs + params.accept_rel * jnp.maximum(inf_norm(x), inf_norm(z))
@@ -259,4 +294,5 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     converged = jnp.logical_and(prim <= jnp.maximum(ep, acc_p),
                                 dual <= jnp.maximum(ed, acc_d))
     iters = jnp.asarray(params.n_rounds * params.max_iter)
-    return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual, converged=converged)
+    return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual,
+                       converged=converged, rho=rho)

@@ -42,6 +42,11 @@ class QPResult(NamedTuple):
     obj: jnp.ndarray  # scalar objective value
     iters: jnp.ndarray
     converged: jnp.ndarray
+    # dual warm-start carriers (None when the solver path doesn't produce
+    # them, e.g. LQR): the final ADMM box dual (H*dim_u, time-major) and
+    # penalty, to seed the next solve in the MPC sequence
+    y: jnp.ndarray = None
+    rho: jnp.ndarray = None
 
 
 def condense_horizon(A_s, B_s, Delta_s, x_init, unroll: bool = False):
@@ -169,6 +174,8 @@ def quad_program(
     U_warm=None,
     params: BoxQPParams | None = None,
     backend: str = "chol",
+    Y_warm=None,
+    rho_warm=None,
 ) -> QPResult:
     """Solve the LTV horizon tracking QP (reference optimize.py:12-60 shape).
 
@@ -184,17 +191,22 @@ def quad_program(
     :param backend: "chol" (adaptive ADMM, Cholesky factorization) or "ns"
         (fixed-iteration ADMM with a Newton-Schulz inverse: matmul-only and
         loop-free - the batched TPU hot path; condensing is also unrolled).
+    :param Y_warm: optional (H*dim_u,) time-major ADMM dual warm start.
+    :param rho_warm: optional scalar penalty warm start (<= 0 = cold).
     """
     P, q, lb, ub, w, M = qp_data(x_init, X_bm, U_bm, Q_s, R_s, A_s, B_s, Delta_s,
                                  u_prev=u_prev, sat=sat, du=du,
                                  unroll=(backend == "ns"))
     x0 = None if U_warm is None else U_warm.T.reshape(-1).astype(P.dtype)
     if backend == "ns":
-        res = solve_boxqp_fixed(P, q, lb, ub, x0=x0, params=params)
+        res = solve_boxqp_fixed(P, q, lb, ub, x0=x0, params=params,
+                                y0=Y_warm, rho0=rho_warm)
     else:
-        res = solve_boxqp(P, q, lb, ub, x0=x0, params=params)
+        res = solve_boxqp(P, q, lb, ub, x0=x0, params=params,
+                          y0=Y_warm, rho0=rho_warm)
     X_opt, U_opt, obj = qp_finish(w, M, res.x, X_bm, U_bm, Q_s, R_s)
-    return QPResult(X=X_opt, U=U_opt, obj=obj, iters=res.iters, converged=res.converged)
+    return QPResult(X=X_opt, U=U_opt, obj=obj, iters=res.iters,
+                    converged=res.converged, y=res.y, rho=res.rho)
 
 
 def objective_value(X, U, X_bm, U_bm, Q_s, R_s):

@@ -61,17 +61,21 @@ def test_pallas_qp_matches_mirror_batch():
 
 
 def _admm_mirror(P, q, lb, ub, x0=None, iters=100, rounds=2, rho_scale=0.1,
-                 sigma=1e-6, alpha=1.6):
+                 sigma=1e-6, alpha=1.6, y0=None, rho0=None,
+                 eps_abs=1e-6, eps_rel=1e-6, acc_abs=1e-3, acc_rel=1e-3):
     """Plain-numpy mirror of exactly the kernel's algorithm (unpivoted
-    Gauss-Jordan inverse + warm-started fixed-iteration relaxed ADMM with
-    rho rebalanced between rounds)."""
+    Gauss-Jordan inverse + (y, rho)-warm-startable fixed-iteration relaxed
+    ADMM with rho rebalanced per round, frozen once the iterates pass the
+    acceptance rule)."""
     n = P.shape[0]
     P = 0.5 * (P + P.T)
     diag_scale = max(np.trace(P) / n, 1e-12)
     rho = rho_scale * diag_scale
+    if rho0 is not None and rho0 > 0:
+        rho = np.clip(rho0, 1e-8 * diag_scale, 1e8 * diag_scale)
     x = np.clip(np.zeros(n) if x0 is None else x0, lb, ub)
     z = x.copy()
-    y = np.zeros(n)
+    y = np.zeros(n) if y0 is None else np.asarray(y0, float).copy()
     for rnd in range(rounds):
         Kinv = np.linalg.inv(P + (sigma + rho) * np.eye(n))
         for _ in range(iters):
@@ -79,12 +83,15 @@ def _admm_mirror(P, q, lb, ub, x0=None, iters=100, rounds=2, rho_scale=0.1,
             z_arg = alpha * x + (1 - alpha) * z
             z = np.clip(z_arg + y / rho, lb, ub)
             y = y + rho * (z_arg - z)
-        if rnd + 1 < rounds:
-            prim = np.max(np.abs(x - z))
-            dual = np.max(np.abs(P @ x + q + y))
-            prim_s = prim / max(np.max(np.abs(x)), np.max(np.abs(z)), 1e-12)
-            dual_s = dual / max(np.max(np.abs(P @ x)), np.max(np.abs(q)),
-                                np.max(np.abs(y)), 1e-12)
+        prim = np.max(np.abs(x - z))
+        dual = np.max(np.abs(P @ x + q + y))
+        xmax = max(np.max(np.abs(x)), np.max(np.abs(z)))
+        dmax = max(np.max(np.abs(P @ x)), np.max(np.abs(q)), np.max(np.abs(y)))
+        accepted = (prim <= max(eps_abs + eps_rel * xmax, acc_abs + acc_rel * xmax)
+                    and dual <= max(eps_abs + eps_rel * dmax, acc_abs + acc_rel * dmax))
+        if not accepted:
+            prim_s = prim / max(xmax, 1e-12)
+            dual_s = dual / max(dmax, 1e-12)
             ratio = np.sqrt(prim_s / max(dual_s, 1e-16))
             rho = np.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale)
     return z
@@ -289,3 +296,92 @@ def test_hostloop_big_kernel_e2e_crosstalk_sized():
     np.testing.assert_allclose(out_p["us"], out_x["us"], atol=1e-4)
     np.testing.assert_allclose(out_p["final_x"], out_x["final_x"], atol=1e-4)
     assert np.max(np.abs(out_x["us"])) > 1e-3  # non-vacuous
+
+
+def test_big_kernel_warm_duals_matches_solve_boxqp_fixed():
+    """(y0, rho0) dual warm starts flow through the looped kernel exactly as
+    through solve_boxqp_fixed: same iterates AND same carried-out (y, rho) -
+    the invariants the MPC drivers' dual warm-starting relies on."""
+    import jax
+    from mpc4quantum_tpu.ops.pallas_qp import boxqp_pallas_big
+    from mpc4quantum_tpu.solvers.boxqp import solve_boxqp_fixed, BoxQPParams
+
+    B, n = 4, 24
+    P, q, lb, ub = make_batch(B, n, seed=21)
+    params = BoxQPParams(max_iter=15, n_rounds=1)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    # first solve (cold) produces the warm values
+    x1, aux1 = boxqp_pallas_big(P, q, lb, ub, iters=15, rounds=1,
+                                interpret=True, return_aux=True)
+    # neighboring problem, warm-started
+    q2 = (q + 0.02 * np.random.default_rng(5).normal(size=q.shape)).astype(np.float32)
+    x2, aux2 = boxqp_pallas_big(P, q2, lb, ub, x0=x1, y0=aux1.y, rho0=aux1.rho,
+                                iters=15, rounds=1, interpret=True, return_aux=True)
+
+    ref1 = jax.vmap(lambda P, q, lb, ub: solve_boxqp_fixed(P, q, lb, ub,
+                                                           params=params))(
+        f32(P), f32(q), f32(lb), f32(ub))
+    np.testing.assert_allclose(np.asarray(aux1.y), np.asarray(ref1.y), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(aux1.rho), np.asarray(ref1.rho), rtol=1e-3)
+    ref2 = jax.vmap(lambda P, q, lb, ub, x0, y0, r0: solve_boxqp_fixed(
+        P, q, lb, ub, x0=x0, y0=y0, rho0=r0, params=params))(
+        f32(P), f32(q2), f32(lb), f32(ub), ref1.x, ref1.y, ref1.rho)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(ref2.x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(aux2.rho), np.asarray(ref2.rho), rtol=1e-3)
+
+
+@slow
+def test_small_kernel_warm_duals_matches_solve_boxqp_fixed():
+    """Same dual warm-start parity for the fully-unrolled small-n kernel
+    (interpret mode; tiny budget to bound the unrolled program)."""
+    import jax
+    from mpc4quantum_tpu.solvers.boxqp import solve_boxqp_fixed, BoxQPParams
+
+    B, n = 4, 5
+    P, q, lb, ub = make_batch(B, n, seed=22)
+    params = BoxQPParams(max_iter=4, n_rounds=2)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    x1, aux1 = boxqp_pallas(P, q, lb, ub, iters=4, rounds=2, tile_b=128,
+                            interpret=True, return_aux=True)
+    q2 = (q + 0.02 * np.random.default_rng(6).normal(size=q.shape)).astype(np.float32)
+    x2, aux2 = boxqp_pallas(P, q2, lb, ub, x0=x1, y0=aux1.y, rho0=aux1.rho,
+                            iters=4, rounds=2, tile_b=128,
+                            interpret=True, return_aux=True)
+
+    ref1 = jax.vmap(lambda P, q, lb, ub: solve_boxqp_fixed(P, q, lb, ub,
+                                                           params=params))(
+        f32(P), f32(q), f32(lb), f32(ub))
+    np.testing.assert_allclose(np.asarray(aux1.y), np.asarray(ref1.y), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(aux1.rho), np.asarray(ref1.rho), rtol=1e-3)
+    ref2 = jax.vmap(lambda P, q, lb, ub, x0, y0, r0: solve_boxqp_fixed(
+        P, q, lb, ub, x0=x0, y0=y0, rho0=r0, params=params))(
+        f32(P), f32(q2), f32(lb), f32(ub), ref1.x, ref1.y, ref1.rho)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(ref2.x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(aux2.rho), np.asarray(ref2.rho), rtol=1e-3)
+
+
+def test_big_kernel_unrolled_iters_matches_looped():
+    """unroll_iters=True (static FMA chain, no fori_loop - the shortest
+    serial form for flagship-sized QPs and the guaranteed-to-lower form on
+    loop-limited TPU backends) computes the same solve as the looped form
+    and the XLA mirror."""
+    import jax
+    from mpc4quantum_tpu.ops.pallas_qp import boxqp_pallas_big
+    from mpc4quantum_tpu.solvers.boxqp import solve_boxqp_fixed, BoxQPParams
+
+    B, n = 4, 10
+    P, q, lb, ub = make_batch(B, n, seed=31)
+    kw = dict(iters=10, rounds=2, interpret=True, return_aux=True)
+    x_loop, aux_loop = boxqp_pallas_big(P, q, lb, ub, **kw)
+    x_unr, aux_unr = boxqp_pallas_big(P, q, lb, ub, unroll_iters=True, **kw)
+    np.testing.assert_allclose(np.asarray(x_unr), np.asarray(x_loop), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux_unr.rho), np.asarray(aux_loop.rho),
+                               rtol=1e-3)
+    params = BoxQPParams(max_iter=10, n_rounds=2)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    ref = jax.vmap(lambda P, q, lb, ub: solve_boxqp_fixed(P, q, lb, ub,
+                                                          params=params))(
+        f32(P), f32(q), f32(lb), f32(ub))
+    np.testing.assert_allclose(np.asarray(x_unr), np.asarray(ref.x), atol=2e-5)
