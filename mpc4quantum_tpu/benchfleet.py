@@ -21,11 +21,39 @@ import time
 import numpy as np
 
 
+# Per-preset production steady-state QP budgets under ADMM dual
+# warm-starting (experiments/sweep_warm_presets.py, round-3 CPU sweeps at
+# the bench batch sizes, quality == cold full budget; serial-iteration cuts
+# 2.25-6x on the latency-bound kernels):
+#   not_state       n=10  cold 3x15   -> 2x10  (tests/test_warm_duals.py)
+#   not_gate        n=15  cold 3x15   -> 2x10  (2x5 collapses)
+#   not_state_freq  n=50  cold 2x150  -> 2x50  (1-round cliff at 1x25)
+#   drag_state      n=32  cold 2x150  -> 2x25  (2x15 degrades)
+#   cnot_state      n=150 cold 3x300  -> 2x200 (fid_min 0.9805 vs cold
+#                   0.9699 at batch 64 - warm duals IMPROVE the worst lane;
+#                   3-round warm shapes regress it)
+#   crosstalk: EXCLUDED - warm_start=False resets the guess every step, so
+#   every step runs the warm program at the cold budget (steady programs
+#   never execute) and cutting that budget fails outright (2x50: 100% QP
+#   failures). It keeps the cold default.
+# Values are (n_rounds, max_iter); acceptance 4e-3 (the fixed-budget
+# solve's solution is budget-determined - acceptance only declares failure;
+# closed-loop fidelity is the real gate, asserted in bench.py and
+# tests/test_preset_tuning.py).
+PRESET_STEADY_BUDGET = {
+    "not_state": (2, 10),
+    "not_gate": (2, 10),
+    "not_state_freq": (2, 50),
+    "drag_state": (2, 25),
+    "cnot_state": (2, 200),
+}
+
+
 def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        record: bool = False, detune_scale: float = 0.01,
                        reps: int = 1, warm_sqp_iters: int = 8,
                        granularity: str = "mixed", steady_fuse: int = 3,
-                       warm_duals: bool = False, steady_qp_params=None,
+                       warm_duals: bool | None = None, steady_qp_params=None,
                        qp_kernel: str = "auto"):
     """Run a `batch`-lane detuning-sweep fleet of scenario `sc` end-to-end.
 
@@ -33,6 +61,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
     :param cpu: True = XLA impls everywhere (kernels need real hardware).
     :param reps: total runs; the reported rate uses the best timed run (the
         first run pays compiles and is reported separately as first_run_s).
+    :param warm_duals: None = the production default (dual warm-starting
+        with the preset's swept steady budget where PRESET_STEADY_BUDGET
+        has an entry, cold otherwise); True/False force it (False = the
+        round-2 cold-everywhere form).
+    :param steady_qp_params: explicit steady-phase BoxQPParams override
+        (implies warm_duals unless warm_duals=False was passed).
     :return: metrics dict (throughput + fidelity/completion quality).
     """
     import jax
@@ -58,6 +92,20 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
     step_fn = (quantum_step_taylor if is_quantum
                else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
                else sc.plant_step_fn)
+    if warm_duals is None:
+        tuned = PRESET_STEADY_BUDGET.get(sc.name)
+        warm_duals = tuned is not None or steady_qp_params is not None
+        if tuned is not None and steady_qp_params is None:
+            r, i = tuned
+            steady_qp_params = BoxQPParams(
+                max_iter=i, n_rounds=r,
+                eps_abs=sc.config.qp_params.eps_abs,
+                eps_rel=sc.config.qp_params.eps_rel,
+                accept_abs=4e-3, accept_rel=4e-3,
+                # inherit the loop form: chip presets run the
+                # proven-to-lower unrolled chain, CPU callers that set
+                # unroll=False keep fast traces in the steady phase too
+                unroll=sc.config.qp_params.unroll)
     cfg = dataclasses.replace(sc.config, qp_backend="ns",
                               qp_warm_duals=warm_duals)
     if cfg.horizon * cfg.dim_u <= 16:
@@ -102,5 +150,9 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         "qp_fail_frac": round(float((codes == 2).mean()), 4),
         "qp_impl": runner.qp_impl,
         "plant_impl": runner.plant_impl,
+        "warm_duals": bool(warm_duals),
+        "steady_budget": (f"{steady_qp_params.n_rounds}x{steady_qp_params.max_iter}"
+                          if (warm_duals and steady_qp_params is not None)
+                          else f"{cfg.qp_params.n_rounds}x{cfg.qp_params.max_iter}"),
     }
     return metrics, out

@@ -50,6 +50,12 @@ class BoxQPParams:
     # closed-loop fidelities at this acceptance: crosstalk 0.998, CNOT 0.97
     accept_abs: float = 1e-3
     accept_rel: float = 1e-3
+    # solve_boxqp_fixed loop form: True = flat python-unrolled iteration
+    # chain (the form proven to lower on the axon TPU backend, whose batched
+    # lax.scan is unimplemented - CLAUDE.md); False = lax.scan body (same
+    # iterates; traces/compiles ~max_iter x faster - use on CPU/standard
+    # backends, e.g. budget sweeps at cnot's 3x300)
+    unroll: bool = struct.field(pytree_node=False, default=True)
 
 
 class BoxQPResult(NamedTuple):
@@ -202,7 +208,7 @@ def ns_inverse(K, iters: int = 30):
 
 
 def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
-                      unroll: bool = True, ns_iters: int = 30,
+                      unroll: bool | None = None, ns_iters: int = 30,
                       y0=None, rho0=None) -> BoxQPResult:
     """ADMM box-QP with a FIXED iteration schedule and a Newton-Schulz
     inverse in place of the Cholesky factorization.
@@ -219,6 +225,8 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     """
     if params is None:
         params = BoxQPParams()
+    if unroll is None:
+        unroll = params.unroll
     n = q.shape[0]
     dtype = q.dtype
     P = 0.5 * (P + P.T)
