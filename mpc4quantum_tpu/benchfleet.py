@@ -27,15 +27,17 @@ import numpy as np
 # 2.25-6x on the latency-bound kernels):
 #   not_state       n=10  cold 3x15   -> 2x10  (tests/test_warm_duals.py)
 #   not_gate        n=15  cold 3x15   -> 2x10  (2x5 collapses)
-#   not_state_freq  n=50  cold 2x150  -> 2x50  (1-round cliff at 1x25)
+#   not_state_freq  n=50  cold 2x150  -> 2x25  (cliff at 2x10; 2x25 holds
+#                   fid_min 0.9987 at batch 32 / 0.9992 at batch 8)
 #   drag_state      n=32  cold 2x150  -> 2x25  (2x15 degrades)
 #   cnot_state      n=150 cold 3x300  -> 2x200 (fid_min 0.9805 vs cold
 #                   0.9699 at batch 64 - warm duals IMPROVE the worst lane;
 #                   3-round warm shapes regress it)
-#   crosstalk: EXCLUDED - warm_start=False resets the guess every step, so
-#   every step runs the warm program at the cold budget (steady programs
-#   never execute) and cutting that budget fails outright (2x50: 100% QP
-#   failures). It keeps the cold default.
+#   crosstalk: EXCLUDED from this table - warm_start=False resets the guess
+#   every step, so every step runs the warm program at cfg.qp_params (steady
+#   programs never execute). Its cut lives in the preset itself instead:
+#   rho0=1.0 + 2x75 (presets.py crosstalk), fidelity 0.9997 > the old
+#   2x150 default's 0.9980; 2x50 is the cliff at any rho0.
 # Values are (n_rounds, max_iter); acceptance 4e-3 (the fixed-budget
 # solve's solution is budget-determined - acceptance only declares failure;
 # closed-loop fidelity is the real gate, asserted in bench.py and
@@ -43,7 +45,7 @@ import numpy as np
 PRESET_STEADY_BUDGET = {
     "not_state": (2, 10),
     "not_gate": (2, 10),
-    "not_state_freq": (2, 50),
+    "not_state_freq": (2, 25),
     "drag_state": (2, 25),
     "cnot_state": (2, 200),
 }

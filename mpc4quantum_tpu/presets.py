@@ -211,7 +211,17 @@ def crosstalk(order: int = 1, coupling: float = 0.0) -> Scenario:
         name="crosstalk", x0=x0, model=model, plant=plant,
         X_targ=X_targ, U_targ=U_targ, Q=Q, R=R, Qf=Q,
         config=MPCConfig(horizon=H, n_steps=n_steps, dt=dt, dim_u=2, order=order,
-                         measure_freq=2, warm_start=False, max_iter=20),
+                         measure_freq=2, warm_start=False, max_iter=20,
+                         # rho0=1.0: this preset's condensed P has diag
+                         # ~1e-3 with cond ~1 and the default 0.1*meandiag
+                         # penalty under-weights the box - measured
+                         # (round-3 rho sweeps, batch 16): rho0=1.0 at
+                         # HALF the iteration budget (2x75) reaches
+                         # fidelity 0.9997 vs the 2x150 default's 0.9980;
+                         # 2x50 is the cliff (0.994). warm_start=False
+                         # makes this the every-solve budget (no steady
+                         # phase), so it is the preset's whole QP cost.
+                         qp_params=BoxQPParams(rho0=1.0, max_iter=75)),
         sat=sat, du=0.25, target_state=np.kron(targ1, targ2).flatten(),
     )
 

@@ -44,7 +44,7 @@ def _run(name, batch, **kw):
 
 def test_tuned_budget_not_state_freq():
     m = _run("not_state_freq", 8)
-    assert m["warm_duals"] and m["steady_budget"] == "2x50", m
+    assert m["warm_duals"] and m["steady_budget"] == "2x25", m
     assert m["qp_fail_frac"] == 0.0 and m["completed_frac"] == 1.0, m
     assert m["fidelity_min"] >= 0.99, m
 
@@ -63,14 +63,15 @@ def test_tuned_budget_not_gate():
     assert m["qp_fail_frac"] == 0.0 and m["exit_early_frac"] == 1.0, m
 
 
-def test_crosstalk_stays_cold():
+def test_crosstalk_preset_budget():
     """warm_start=False resets the guess every step, so steady programs
-    never run and budget cuts fail outright (measured: 2x50 -> 100% QP
-    failures) - the tuning table must leave crosstalk alone."""
+    never run and the tuning table must leave crosstalk alone; its cut
+    lives in the preset's own qp_params instead (rho0=1.0, 2x75 - measured
+    BETTER fidelity than the old 2x150 rho0-default form, presets.py)."""
     assert "crosstalk" not in PRESET_STEADY_BUDGET
     m = _run("crosstalk", 4)
-    assert not m["warm_duals"] and m["steady_budget"] == "2x150", m
-    assert m["qp_fail_frac"] == 0.0 and m["fidelity_min"] >= 0.99, m
+    assert not m["warm_duals"] and m["steady_budget"] == "2x75", m
+    assert m["qp_fail_frac"] == 0.0 and m["fidelity_min"] >= 0.995, m
 
 
 @slow
