@@ -37,7 +37,10 @@ jax.config.update("jax_platforms", "cpu")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("preset")
-    ap.add_argument("budgets", help="comma list of RxI steady budgets, e.g. 2x100,1x50")
+    ap.add_argument("budgets", nargs="?", default="",
+                    help="comma list of RxI steady budgets, e.g. 2x100,1x50 "
+                         "(empty = cold-only run, e.g. crosstalk whose "
+                         "every-step budget is --warm-budget)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--n-steps", type=int, default=0, help="0 = preset default")
     ap.add_argument("--accept", type=float, default=4e-3,
@@ -49,6 +52,10 @@ def main():
                          "warm_start=False presets like crosstalk, whose "
                          "steady programs never run)")
     ap.add_argument("--warm-sqp-iters", type=int, default=8)
+    ap.add_argument("--scale", action="store_true",
+                    help="Jacobi-equilibrate every QP (BoxQPParams.scale)")
+    ap.add_argument("--rho0", type=float, default=0.0,
+                    help="override qp_params.rho0 (0 = preset value)")
     args = ap.parse_args()
 
     from mpc4quantum_tpu import presets
@@ -63,6 +70,10 @@ def main():
     if args.warm_budget:
         r, i = args.warm_budget.split("x")
         qp_params = qp_params.replace(max_iter=int(i), n_rounds=int(r))
+    if args.scale:
+        qp_params = qp_params.replace(scale=True)
+    if args.rho0:
+        qp_params = qp_params.replace(rho0=args.rho0)
     cfg = dataclasses.replace(sc.config, qp_params=qp_params)
     if args.n_steps:
         cfg = dataclasses.replace(cfg, n_steps=args.n_steps)
@@ -92,13 +103,14 @@ def main():
 
     if not args.skip_cold:
         run("cold", False, None)
-    for b in args.budgets.split(","):
+    for b in [s for s in args.budgets.split(",") if s]:
         r, i = b.split("x")
         qp = BoxQPParams(max_iter=int(i), n_rounds=int(r),
                          eps_abs=sc.config.qp_params.eps_abs,
                          eps_rel=sc.config.qp_params.eps_rel,
                          accept_abs=args.accept, accept_rel=args.accept,
-                         unroll=False)
+                         unroll=False, scale=args.scale,
+                         rho0=args.rho0 or sc.config.qp_params.rho0)
         run(f"warm {b}", True, qp)
 
 

@@ -76,3 +76,5 @@ from .mpc.driver import mpc  # note: shadows the submodule; m4q.mpc(...) is the 
 from . import presets
 from .parallel.fleet import batched_mpc, sharded_mpc, make_scenario_batch, fleet_summary, sharded_fleet_summary
 from .parallel.mesh import init_distributed, fleet_mesh, scaling_report
+from .mpc.hostloop import HostLoopMPC
+from .benchfleet import run_hostloop_fleet, PRESET_STEADY_BUDGET

@@ -24,30 +24,46 @@ import numpy as np
 # Per-preset production steady-state QP budgets under ADMM dual
 # warm-starting (experiments/sweep_warm_presets.py, round-3 CPU sweeps at
 # the bench batch sizes, quality == cold full budget; serial-iteration cuts
-# 2.25-6x on the latency-bound kernels):
-#   not_state       n=10  cold 3x15   -> 2x10  (tests/test_warm_duals.py)
+# 2.25-10x on the latency-bound kernels). The third field turns on Jacobi
+# equilibration (BoxQPParams.scale - warm AND steady phases, so carried
+# duals live in one consistent space): the larger presets' condensed P
+# diagonals span 1-6 orders of magnitude and equilibration cuts their
+# iterations-to-tolerance ~1.7x at equal closed-loop quality
+# (experiments/sweep_ruiz.py + re-swept budgets below).
+#   not_state       n=10  cold 3x15   -> 2x10  (tests/test_warm_duals.py;
+#                   scale off: no gain at diag spread ~1, keeps the proven
+#                   flagship kernel program unchanged; 2x6 collapses)
 #   not_gate        n=15  cold 3x15   -> 2x10  (2x5 collapses)
-#   not_state_freq  n=50  cold 2x150  -> 2x25  (cliff at 2x10; 2x25 holds
-#                   fid_min 0.9987 at batch 32 / 0.9992 at batch 8)
-#   drag_state      n=32  cold 2x150  -> 2x25  (2x15 degrades)
+#   not_state_freq  n=50  cold 2x150  -> scaled 2x15 (min 0.99913 at
+#                   batch 8 == cold; unscaled needs 2x25; 2x12 collapses)
+#   drag_state      n=32  cold 2x150  -> scaled 2x12 (min 0.99909 at
+#                   batch 8; 2x10 dips to 0.99876, 1x15 collapses;
+#                   unscaled needs 2x25)
 #   cnot_state      n=150 cold 3x300  -> 2x200 (fid_min 0.9805 vs cold
 #                   0.9699 at batch 64 - warm duals IMPROVE the worst lane;
-#                   3-round warm shapes regress it)
+#                   3-round warm shapes regress it). Scale stays OFF:
+#                   full-length batch-64 A/B measured scaled 2x100 at
+#                   min 0.97068 (0.0007 above the hard gate - too thin
+#                   for the f32/kernel landscape, +-0.005) and scaled
+#                   2x150 at min 0.963; the mean improves but the worst
+#                   lane does not.
 #   crosstalk: EXCLUDED from this table - warm_start=False resets the guess
 #   every step, so every step runs the warm program at cfg.qp_params (steady
 #   programs never execute). Its cut lives in the preset itself instead:
 #   rho0=1.0 + 2x75 (presets.py crosstalk), fidelity 0.9997 > the old
-#   2x150 default's 0.9980; 2x50 is the cliff at any rho0.
-# Values are (n_rounds, max_iter); acceptance 4e-3 (the fixed-budget
+#   2x150 default's 0.9980; 2x50 is the cliff at any rho0, and its
+#   mid-trajectory QPs (cond ~1e6, q up to ~600) defeat equilibration at
+#   reduced budgets too (measured: scaled 2x15-2x35 all 100% QP failures).
+# Values are (n_rounds, max_iter, scale); acceptance 4e-3 (the fixed-budget
 # solve's solution is budget-determined - acceptance only declares failure;
 # closed-loop fidelity is the real gate, asserted in bench.py and
 # tests/test_preset_tuning.py).
 PRESET_STEADY_BUDGET = {
-    "not_state": (2, 10),
-    "not_gate": (2, 10),
-    "not_state_freq": (2, 25),
-    "drag_state": (2, 25),
-    "cnot_state": (2, 200),
+    "not_state": (2, 10, False),
+    "not_gate": (2, 10, False),
+    "not_state_freq": (2, 15, True),
+    "drag_state": (2, 12, True),
+    "cnot_state": (2, 200, False),
 }
 
 
@@ -94,11 +110,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
     step_fn = (quantum_step_taylor if is_quantum
                else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
                else sc.plant_step_fn)
+    tuned_scale = False
     if warm_duals is None:
         tuned = PRESET_STEADY_BUDGET.get(sc.name)
         warm_duals = tuned is not None or steady_qp_params is not None
         if tuned is not None and steady_qp_params is None:
-            r, i = tuned
+            r, i, tuned_scale = tuned
             steady_qp_params = BoxQPParams(
                 max_iter=i, n_rounds=r,
                 eps_abs=sc.config.qp_params.eps_abs,
@@ -107,7 +124,14 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                 # inherit the loop form: chip presets run the
                 # proven-to-lower unrolled chain, CPU callers that set
                 # unroll=False keep fast traces in the steady phase too
-                unroll=sc.config.qp_params.unroll)
+                unroll=sc.config.qp_params.unroll,
+                # equilibration applies to the STEADY phase only: duals
+                # cross the phase seam unscaled (solver I/O contract) and
+                # the carried rho is re-balanced within one round, while
+                # scaling the warm phase too was measured WORSE (x64
+                # not_state_freq: 1/8 lanes QP-fail with a scaled warm
+                # phase at the full cold budget vs 0 with it unscaled)
+                scale=tuned_scale or sc.config.qp_params.scale)
     cfg = dataclasses.replace(sc.config, qp_backend="ns",
                               qp_warm_duals=warm_duals)
     if cfg.horizon * cfg.dim_u <= 16:
@@ -153,6 +177,11 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         "qp_impl": runner.qp_impl,
         "plant_impl": runner.plant_impl,
         "warm_duals": bool(warm_duals),
+        # equilibration state of the hot (steady) phase - the warm phase
+        # always runs in the preset's own space (see PRESET_STEADY_BUDGET)
+        "qp_scale": bool(steady_qp_params.scale if (warm_duals and
+                                                    steady_qp_params is not None)
+                         else cfg.qp_params.scale),
         "steady_budget": (f"{steady_qp_params.n_rounds}x{steady_qp_params.max_iter}"
                           if (warm_duals and steady_qp_params is not None)
                           else f"{cfg.qp_params.n_rounds}x{cfg.qp_params.max_iter}"),

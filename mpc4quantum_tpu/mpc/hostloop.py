@@ -340,6 +340,7 @@ class HostLoopMPC:
             qp_rho0 = float(qp.rho0)
             qp_sigma = float(qp.sigma)
             qp_alpha = float(qp.alpha)
+            qp_scale = bool(qp.scale)
 
             def pre(c, si, p, m):
                 X_ref, U_ref, bm, lift_x, u_prev, _ = step_fn.context(
@@ -381,7 +382,7 @@ class HostLoopMPC:
                               eps_abs=float(qp.eps_abs), eps_rel=float(qp.eps_rel),
                               acc_abs=float(qp.accept_abs), acc_rel=float(qp.accept_rel),
                               interpret=self.pallas_interpret,
-                              return_aux=True, **extra)
+                              return_aux=True, scale=qp_scale, **extra)
             Uvec = Uvec.astype(P.dtype)
             conv = boxqp_accept(aux, float(qp.eps_abs), float(qp.eps_rel),
                                 float(qp.accept_abs), float(qp.accept_rel))

@@ -40,14 +40,22 @@ _AUX_ROWS = 8
 
 
 def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, y0_ref, rho0_ref,
-               x_ref, aux_ref, y_ref, *,
+               *rest,
                n: int, iters: int, rounds: int,
                rho_scale: float, sigma: float, alpha: float, pack: int,
                eps_abs: float, eps_rel: float,
-               acc_abs: float, acc_rel: float):
+               acc_abs: float, acc_rel: float, scaled: bool = False):
     # batch packed over (pack sublanes x lanes): logical row i is the
     # (pack, TB) block at physical rows [i*pack, (i+1)*pack) - every
     # multiply-add fills the full (8, 128) f32 VPU tile instead of 1/8 of it
+    # scaled=True adds a d_ref input (the Jacobi weights) and reports all
+    # residual stats in the ORIGINAL coordinates (primal rows * d, dual rows
+    # / d - solvers/boxqp._residual_stats semantics); scaled=False keeps the
+    # historical program byte-identical (no extra input, no weight ops)
+    if scaled:
+        d_ref, x_ref, aux_ref, y_ref = rest
+    else:
+        x_ref, aux_ref, y_ref = rest
     row = lambda ref, i: ref[i * pack : (i + 1) * pack, :]
     P = [row(p_ref, i) for i in range(n * n)]
     q = [row(q_ref, i) for i in range(n)]
@@ -113,7 +121,13 @@ def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, y0_ref, rho0_ref,
     y = [row(y0_ref, i) for i in range(n)]
 
     prim = dual = xmax = zmax = pxmax = ymax = jnp.zeros_like(rho)
-    qmax = maxabs(q)
+    if scaled:
+        dd = [row(d_ref, i) for i in range(n)]
+        wpm = lambda rows: [dd[i] * rows[i] for i in range(n)]
+        wdm = lambda rows: [rows[i] / dd[i] for i in range(n)]
+    else:
+        wpm = wdm = lambda rows: rows
+    qmax = maxabs(wdm(q))
 
     for rnd in range(rounds):
         inv = inverse_of_K(rho)
@@ -131,10 +145,10 @@ def _qp_kernel(p_ref, q_ref, lb_ref, ub_ref, x0_ref, y0_ref, rho0_ref,
         # forward unchanged (the dual warm-start value for the next MPC
         # solve), a struggling one adapts, after the final round too.
         Px = matvec(P, x)
-        prim = maxabs([x[i] - z[i] for i in range(n)])
-        dual = maxabs([Px[i] + q[i] + y[i] for i in range(n)])
-        xmax, zmax = maxabs(x), maxabs(z)
-        pxmax, ymax = maxabs(Px), maxabs(y)
+        prim = maxabs(wpm([x[i] - z[i] for i in range(n)]))
+        dual = maxabs(wdm([Px[i] + q[i] + y[i] for i in range(n)]))
+        xmax, zmax = maxabs(wpm(x)), maxabs(wpm(z))
+        pxmax, ymax = maxabs(wdm(Px)), maxabs(wdm(y))
         ep = eps_abs + eps_rel * jnp.maximum(xmax, zmax)
         ed = eps_abs + eps_rel * jnp.maximum(pxmax, jnp.maximum(qmax, ymax))
         ap = acc_abs + acc_rel * jnp.maximum(xmax, zmax)
@@ -182,14 +196,15 @@ def boxqp_accept(aux: BoxQPPallasAux, eps_abs: float, eps_rel: float,
                                              "interpret", "return_aux",
                                              "rho_scale", "sigma", "alpha",
                                              "sublanes", "eps_abs", "eps_rel",
-                                             "acc_abs", "acc_rel"))
+                                             "acc_abs", "acc_rel", "scale"))
 def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                  rho_scale: float = 0.1, sigma: float = 1e-6, alpha: float = 1.6,
                  tile_b: int = 256, interpret: bool = False,
                  return_aux: bool = False, sublanes: int = 8,
                  y0=None, rho0=None,
                  eps_abs: float = 1e-6, eps_rel: float = 1e-6,
-                 acc_abs: float = 1e-3, acc_rel: float = 1e-3):
+                 acc_abs: float = 1e-3, acc_rel: float = 1e-3,
+                 scale: bool = False):
     """Solve a batch of box QPs with the fused lane-batched kernel.
 
     :param P: (B, n, n) SPD matrices (f32); n <= ~16 (fully unrolled).
@@ -211,6 +226,15 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     # symmetrize like the XLA path (solvers/boxqp.py:203) so iterates and
     # residuals agree for not-exactly-symmetric inputs
     P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
+    d_eq = None
+    if scale:
+        # Jacobi equilibration OUTSIDE the kernel (cheap batched elementwise
+        # XLA): the kernel solves the scaled problem, outputs are unscaled
+        # below - same helper as the XLA path so iterates are bit-identical
+        from ..solvers.boxqp import jacobi_scale_boxqp
+        f32 = lambda a: None if a is None else jnp.asarray(a, jnp.float32)
+        P, q, lb, ub, x0, y0, d_eq = jacobi_scale_boxqp(
+            P, f32(q), f32(lb), f32(ub), f32(x0), f32(y0))
     B, n, _ = P.shape
     S = sublanes
     # packed width W (lanes) and padded batch Bp = S * W; batch element
@@ -247,13 +271,24 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     kernel = functools.partial(_qp_kernel, n=n, iters=iters, rounds=rounds,
                                rho_scale=rho_scale, sigma=sigma, alpha=alpha,
                                pack=S, eps_abs=eps_abs, eps_rel=eps_rel,
-                               acc_abs=acc_abs, acc_rel=acc_rel)
+                               acc_abs=acc_abs, acc_rel=acc_rel,
+                               scaled=scale)
     vec = lambda rows: pl.BlockSpec((rows * S, tb), lambda b: (0, b),
                                     memory_space=pltpu.VMEM)
+    inputs = [p_in, q_in, lb_in, ub_in, x0_in, y0_in, rho0_in]
+    in_specs = [vec(n * n), vec(n), vec(n), vec(n), vec(n), vec(n), vec(1)]
+    if scale:
+        # Jacobi weights as an extra input (padded lanes get d = 1 so their
+        # residual stats stay finite); unscaled programs keep the historical
+        # 7-input signature byte-identical
+        d_in = pack(jnp.full((n, Bp), 1.0, jnp.float32).at[:, :B].set(
+            jnp.asarray(d_eq, jnp.float32).T))
+        inputs.append(d_in)
+        in_specs.append(vec(n))
     out, aux, yout = pl.pallas_call(
         kernel,
         grid=(W // tb,),
-        in_specs=[vec(n * n), vec(n), vec(n), vec(n), vec(n), vec(n), vec(1)],
+        in_specs=in_specs,
         out_specs=[vec(n), vec(_AUX_ROWS), vec(n)],
         out_shape=[
             jax.ShapeDtypeStruct((n * S, W), jnp.float32),
@@ -261,12 +296,16 @@ def boxqp_pallas(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
             jax.ShapeDtypeStruct((n * S, W), jnp.float32),
         ],
         interpret=interpret,
-    )(p_in, q_in, lb_in, ub_in, x0_in, y0_in, rho0_in)
+    )(*inputs)
     x_out = out.reshape(n, Bp)[:, :B].T
+    if d_eq is not None:
+        x_out = d_eq * x_out
     if not return_aux:
         return x_out
     a = aux.reshape(_AUX_ROWS, Bp)[:, :B]
     y_out = yout.reshape(n, Bp)[:, :B].T
+    if d_eq is not None:
+        y_out = y_out / d_eq
     return x_out, BoxQPPallasAux(*[a[r] for r in range(_AUX_ROWS)], y=y_out)
 
 
@@ -413,7 +452,7 @@ def _admm_iters_lanes(Kinv, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l,
                                              "interpret", "return_aux",
                                              "eps_abs", "eps_rel",
                                              "acc_abs", "acc_rel",
-                                             "unroll_iters"))
+                                             "unroll_iters", "scale"))
 def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      rho_scale: float = 0.1, sigma: float = 1e-6,
                      alpha: float = 1.6, ns_iters: int = 30,
@@ -421,7 +460,7 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      y0=None, rho0=None,
                      eps_abs: float = 1e-6, eps_rel: float = 1e-6,
                      acc_abs: float = 1e-3, acc_rel: float = 1e-3,
-                     unroll_iters: bool = False):
+                     unroll_iters: bool = False, scale: bool = False):
     """Batch box-QP solve with the looped large-n kernel.
 
     Same algorithm and acceptance semantics as `boxqp_pallas` and
@@ -447,6 +486,15 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     B, n, _ = P.shape
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     q, lb, ub = f32(q), f32(lb), f32(ub)
+    d_eq = None
+    if scale:
+        # Jacobi equilibration outside the kernel (same helper as the XLA
+        # path - bit-identical scaled problems); outputs unscaled at return
+        from ..solvers.boxqp import jacobi_scale_boxqp
+        P, q, lb, ub, x0, y0, d_eq = jacobi_scale_boxqp(
+            P, q, lb, ub,
+            None if x0 is None else f32(x0),
+            None if y0 is None else f32(y0))
     x0 = jnp.zeros((B, n), jnp.float32) if x0 is None else f32(x0)
 
     from ..solvers.boxqp import _warm_rho
@@ -475,6 +523,12 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     x_p, z_p, y_p = padv(x, 0.0), padv(z, 0.0), padv(y, 0.0)
     rho_p = pads(rho, rho_scale)
     ds_p = pads(diag_scale, 1.0)
+    # residual/acceptance stats in ORIGINAL coordinates (solvers/boxqp
+    # _residual_stats semantics): primal-space rows weight by d, dual-space
+    # rows by 1/d; unscaled path keeps the raw (weightless) ops
+    d_p = None if d_eq is None else padv(d_eq, 1.0)
+    wp = (lambda M: M) if d_p is None else (lambda M: d_p * M)
+    wd = (lambda M: M) if d_p is None else (lambda M: M / d_p)
 
     inf_rows = lambda M: jnp.max(jnp.abs(M), axis=1)  # (Bp, n) -> (Bp,)
 
@@ -497,11 +551,11 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
         # warm-start value for the next MPC solve), a struggling one adapts,
         # after the final round too (solvers/boxqp.py rho-adaptation block)
         Px = jnp.einsum("bij,bj->bi", P_p, x_p)
-        prim = inf_rows(x_p - z_p)
-        dual = inf_rows(Px + q_p + y_p)
-        xmax = jnp.maximum(inf_rows(x_p), inf_rows(z_p))
-        dmax = jnp.maximum(inf_rows(Px),
-                           jnp.maximum(inf_rows(q_p), inf_rows(y_p)))
+        prim = inf_rows(wp(x_p - z_p))
+        dual = inf_rows(wd(Px + q_p + y_p))
+        xmax = jnp.maximum(inf_rows(wp(x_p)), inf_rows(wp(z_p)))
+        dmax = jnp.maximum(inf_rows(wd(Px)),
+                           jnp.maximum(inf_rows(wd(q_p)), inf_rows(wd(y_p))))
         ep = eps_abs + eps_rel * xmax
         ed = eps_abs + eps_rel * dmax
         ap = acc_abs + acc_rel * xmax
@@ -515,11 +569,16 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                           jnp.clip(rho_p * ratio, 1e-8 * ds_p, 1e8 * ds_p))
 
     x_out = z_p[:B]
+    if d_eq is not None:
+        x_out = d_eq * x_out
     if not return_aux:
         return x_out
     xb, zb, yb, qb = x_p[:B], z_p[:B], y_p[:B], q_p[:B]
     Px = jnp.einsum("bij,bj->bi", P, xb)
+    y_ret = yb if d_eq is None else yb / d_eq
+    wpb = (lambda M: M) if d_eq is None else (lambda M: d_eq * M)
+    wdb = (lambda M: M) if d_eq is None else (lambda M: M / d_eq)
     return x_out, BoxQPPallasAux(
-        prim=inf_rows(xb - zb), dual=inf_rows(Px + qb + yb),
-        xmax=inf_rows(xb), zmax=inf_rows(zb), pxmax=inf_rows(Px),
-        qmax=inf_rows(qb), ymax=inf_rows(yb), rho=rho_p[:B], y=yb)
+        prim=inf_rows(wpb(xb - zb)), dual=inf_rows(wdb(Px + qb + yb)),
+        xmax=inf_rows(wpb(xb)), zmax=inf_rows(wpb(zb)), pxmax=inf_rows(wdb(Px)),
+        qmax=inf_rows(wdb(qb)), ymax=inf_rows(wdb(yb)), rho=rho_p[:B], y=y_ret)

@@ -56,6 +56,15 @@ class BoxQPParams:
     # iterates; traces/compiles ~max_iter x faster - use on CPU/standard
     # backends, e.g. budget sweeps at cnot's 3x300)
     unroll: bool = struct.field(pytree_node=False, default=True)
+    # Jacobi (diagonal) equilibration: solve the QP in x' = x / d with
+    # d = diag(P)^-1/2, the cheap core of OSQP's Ruiz scaling (which the
+    # reference always ran through CVXPY). The condensed P's diagonal spans
+    # orders of magnitude on the larger presets (drag ~170x, cnot more) and
+    # ADMM's single rho penalizes every coordinate equally - equilibration
+    # cuts iterations-to-tolerance ~1.7x on captured preset QPs
+    # (experiments/sweep_ruiz.py). Returned x/y are unscaled; carried
+    # (y0, rho0) warm starts are in UNSCALED dual / solver-rho space.
+    scale: bool = struct.field(pytree_node=False, default=False)
 
 
 class BoxQPResult(NamedTuple):
@@ -66,6 +75,53 @@ class BoxQPResult(NamedTuple):
     dual_res: jnp.ndarray
     converged: jnp.ndarray  # bool
     rho: jnp.ndarray = None  # final ADMM penalty (for dual warm-starting)
+
+
+def jacobi_scale_boxqp(P, q, lb, ub, x0=None, y0=None):
+    """Jacobi-equilibrate a box QP: substitute x = d * x', d = diag(P)^-1/2.
+
+    Returns (P', q', lb', ub', x0', y0', d) with P' = D P D (unit diagonal),
+    q' = d*q, bounds/warm-start mapped into the scaled coordinates
+    (lb' = lb/d, x0' = x0/d, dual y' = d*y). Broadcasts over any leading
+    batch dims; the SAME elementwise ops run on the XLA and Pallas-wrapper
+    paths so scaled problems (and therefore iterates) are bit-identical.
+    Unscale a solution with x = d * x', y = y' / d.
+    """
+    dg = jnp.diagonal(P, axis1=-2, axis2=-1)
+    d = 1.0 / jnp.sqrt(jnp.maximum(dg, 1e-12))
+    Ps = P * d[..., :, None] * d[..., None, :]
+    qs = q * d
+    lbs = lb / d
+    ubs = ub / d
+    x0s = None if x0 is None else x0 / d
+    y0s = None if y0 is None else y0 * d
+    return Ps, qs, lbs, ubs, x0s, y0s, d
+
+
+def _residual_stats(P, q, x, z, y, d=None):
+    """Inf-norm residual stats (prim, dual, xmax, dmax) of ADMM iterates,
+    reported in the ORIGINAL problem's coordinates.
+
+    With `d` from `jacobi_scale_boxqp` (iterates live in the scaled space
+    x' = x/d): primal-space quantities multiply by d, dual-space ones divide
+    by d - acceptance thresholds then mean the same thing scaled or not (the
+    scaled dual residual is inflated by ~max(d)/min(d), which made correct
+    solutions read as failures). d=None = unscaled path, weights collapse
+    away (bit-identical to the historical unweighted stats).
+    """
+    inf_norm = lambda v: jnp.max(jnp.abs(v), axis=-1)
+    Px = jnp.einsum("...ij,...j->...i", P, x)
+    if d is None:
+        w = wd = lambda v: v
+    else:
+        w = lambda v: d * v
+        wd = lambda v: v / d
+    prim = inf_norm(w(x - z))
+    dual = inf_norm(wd(Px + q + y))
+    xmax = jnp.maximum(inf_norm(w(x)), inf_norm(w(z)))
+    dmax = jnp.maximum(inf_norm(wd(Px)),
+                       jnp.maximum(inf_norm(wd(q)), inf_norm(wd(y))))
+    return prim, dual, xmax, dmax
 
 
 def _warm_rho(rho0, default, diag_scale):
@@ -100,6 +156,9 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     n = q.shape[0]
     dtype = q.dtype
     P = 0.5 * (P + P.T)
+    d_eq = None
+    if params.scale:
+        P, q, lb, ub, x0, y0, d_eq = jacobi_scale_boxqp(P, q, lb, ub, x0, y0)
     sigma = jnp.asarray(params.sigma, dtype)
     eye = jnp.eye(n, dtype=dtype)
 
@@ -110,17 +169,13 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     x_init = jnp.clip(jnp.zeros(n, dtype=dtype) if x0 is None else x0, lb, ub)
     y_init = jnp.zeros(n, dtype=dtype) if y0 is None else jnp.asarray(y0, dtype)
 
-    inf_norm = lambda v: jnp.max(jnp.abs(v))
-
     def residuals(x, z, y):
-        prim = inf_norm(x - z)
-        dual = inf_norm(P @ x + q + y)
-        # OSQP relative scalings (A = I: Ax = x)
-        eps_prim = params.eps_abs + params.eps_rel * jnp.maximum(inf_norm(x), inf_norm(z))
-        eps_dual = params.eps_abs + params.eps_rel * jnp.maximum(
-            jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
-        )
-        return prim, dual, eps_prim, eps_dual
+        # residual stats in the ORIGINAL coordinates (d_eq-weighted when the
+        # QP was Jacobi-equilibrated); OSQP relative scalings (A = I: Ax = x)
+        prim, dual, xmax, dmax = _residual_stats(P, q, x, z, y, d_eq)
+        eps_prim = params.eps_abs + params.eps_rel * xmax
+        eps_dual = params.eps_abs + params.eps_rel * dmax
+        return prim, dual, eps_prim, eps_dual, xmax, dmax
 
     def run_round(carry, _):
         x, z, y, rho, it_total, converged = carry
@@ -140,7 +195,7 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
             z_new = jnp.clip(z_arg + y / rho, lb, ub)
             y_new = y + rho * (z_arg - z_new)
             it = it + 1
-            prim, dual, ep, ed = residuals(x_t, z_new, y_new)
+            prim, dual, ep, ed, _, _ = residuals(x_t, z_new, y_new)
             done = jnp.logical_and(
                 it % params.check_every == 0,
                 jnp.logical_and(prim <= ep, dual <= ed),
@@ -150,14 +205,12 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         x, z, y, it_round, done_round = jax.lax.while_loop(
             cond, body, (x, z, y, jnp.asarray(0), converged)
         )
-        prim, dual, ep, ed = residuals(x, z, y)
+        prim, dual, ep, ed, xmax, dmax = residuals(x, z, y)
         converged = jnp.logical_and(prim <= ep, dual <= ed)
 
-        # OSQP rho adaptation: balance scaled primal/dual residuals
-        prim_scaled = prim / jnp.maximum(jnp.maximum(inf_norm(x), inf_norm(z)), 1e-12)
-        dual_scaled = dual / jnp.maximum(
-            jnp.maximum(inf_norm(P @ x), jnp.maximum(inf_norm(q), inf_norm(y))), 1e-12
-        )
+        # OSQP rho adaptation: balance relative primal/dual residuals
+        prim_scaled = prim / jnp.maximum(xmax, 1e-12)
+        dual_scaled = dual / jnp.maximum(dmax, 1e-12)
         ratio = jnp.sqrt(prim_scaled / jnp.maximum(dual_scaled, 1e-16))
         rho_new = jnp.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale)
         rho = jnp.where(converged, rho, rho_new)
@@ -166,16 +219,16 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     carry0 = (x_init, x_init, y_init, jnp.asarray(rho_init, dtype), jnp.asarray(0), jnp.asarray(False))
     (x, z, y, rho, iters, converged), _ = jax.lax.scan(run_round, carry0, None, length=params.n_rounds)
 
-    prim, dual, ep, ed = residuals(x, z, y)
-    acc_p = params.accept_abs + params.accept_rel * jnp.maximum(inf_norm(x), inf_norm(z))
-    acc_d = params.accept_abs + params.accept_rel * jnp.maximum(
-        jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
-    )
+    prim, dual, ep, ed, xmax, dmax = residuals(x, z, y)
+    acc_p = params.accept_abs + params.accept_rel * xmax
+    acc_d = params.accept_abs + params.accept_rel * dmax
     # acceptance alone defines declared success: accept_abs/accept_rel may be
     # set tighter than the solve targets and still take effect (the solver
     # just won't iterate past its eps targets to reach them)
     converged = jnp.logical_and(prim <= jnp.maximum(ep, acc_p),
                                 dual <= jnp.maximum(ed, acc_d))
+    if d_eq is not None:
+        z, y = d_eq * z, y / d_eq
     # Return the projected iterate: always box-feasible.
     return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual,
                        converged=converged, rho=rho)
@@ -230,6 +283,9 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     n = q.shape[0]
     dtype = q.dtype
     P = 0.5 * (P + P.T)
+    d_eq = None
+    if params.scale:
+        P, q, lb, ub, x0, y0, d_eq = jacobi_scale_boxqp(P, q, lb, ub, x0, y0)
     sigma = jnp.asarray(params.sigma, dtype)
     eye = jnp.eye(n, dtype=dtype)
 
@@ -240,16 +296,12 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     y = jnp.zeros(n, dtype=dtype) if y0 is None else jnp.asarray(y0, dtype)
     rho = jnp.asarray(rho_init, dtype)
 
-    inf_norm = lambda v: jnp.max(jnp.abs(v))
-
     def residuals(x, z, y):
-        prim = inf_norm(x - z)
-        dual = inf_norm(P @ x + q + y)
-        eps_prim = params.eps_abs + params.eps_rel * jnp.maximum(inf_norm(x), inf_norm(z))
-        eps_dual = params.eps_abs + params.eps_rel * jnp.maximum(
-            jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
-        )
-        return prim, dual, eps_prim, eps_dual
+        # stats in the ORIGINAL coordinates (d_eq-weighted when equilibrated)
+        prim, dual, xmax, dmax = _residual_stats(P, q, x, z, y, d_eq)
+        eps_prim = params.eps_abs + params.eps_rel * xmax
+        eps_dual = params.eps_abs + params.eps_rel * dmax
+        return prim, dual, eps_prim, eps_dual, xmax, dmax
 
     for _round in range(params.n_rounds):
         K = P + (sigma + rho) * eye
@@ -279,28 +331,24 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         # its working rho forward unchanged; a struggling one adapts - after
         # the final round too, so a failed solve hands the next one an
         # adapted value.
-        prim, dual, ep, ed = residuals(x, z, y)
-        acc_p = params.accept_abs + params.accept_rel * jnp.maximum(inf_norm(x), inf_norm(z))
-        acc_d = params.accept_abs + params.accept_rel * jnp.maximum(
-            jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
-        )
+        prim, dual, ep, ed, xmax, dmax = residuals(x, z, y)
+        acc_p = params.accept_abs + params.accept_rel * xmax
+        acc_d = params.accept_abs + params.accept_rel * dmax
         accepted = jnp.logical_and(prim <= jnp.maximum(ep, acc_p),
                                    dual <= jnp.maximum(ed, acc_d))
-        prim_scaled = prim / jnp.maximum(jnp.maximum(inf_norm(x), inf_norm(z)), 1e-12)
-        dual_scaled = dual / jnp.maximum(
-            jnp.maximum(inf_norm(P @ x), jnp.maximum(inf_norm(q), inf_norm(y))), 1e-12
-        )
+        prim_scaled = prim / jnp.maximum(xmax, 1e-12)
+        dual_scaled = dual / jnp.maximum(dmax, 1e-12)
         ratio = jnp.sqrt(prim_scaled / jnp.maximum(dual_scaled, 1e-16))
         rho = jnp.where(accepted, rho,
                         jnp.clip(rho * ratio, 1e-8 * diag_scale, 1e8 * diag_scale))
 
-    prim, dual, ep, ed = residuals(x, z, y)
-    acc_p = params.accept_abs + params.accept_rel * jnp.maximum(inf_norm(x), inf_norm(z))
-    acc_d = params.accept_abs + params.accept_rel * jnp.maximum(
-        jnp.maximum(inf_norm(P @ x), inf_norm(q)), inf_norm(y)
-    )
+    prim, dual, ep, ed, xmax, dmax = residuals(x, z, y)
+    acc_p = params.accept_abs + params.accept_rel * xmax
+    acc_d = params.accept_abs + params.accept_rel * dmax
     converged = jnp.logical_and(prim <= jnp.maximum(ep, acc_p),
                                 dual <= jnp.maximum(ed, acc_d))
+    if d_eq is not None:
+        z, y = d_eq * z, y / d_eq
     iters = jnp.asarray(params.n_rounds * params.max_iter)
     return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual,
                        converged=converged, rho=rho)

@@ -227,6 +227,56 @@ def test_big_kernel_matches_solve_boxqp_fixed(B, n, iters, rounds):
     assert np.all(np.asarray(xk) >= lb - 1e-6) and np.all(np.asarray(xk) <= ub + 1e-6)
 
 
+def test_big_kernel_scaled_matches_solve_boxqp_fixed():
+    """scale=True Jacobi-equilibrates the QP outside the kernel (the same
+    helper the XLA path uses) and reports residual stats in the ORIGINAL
+    coordinates: solutions, duals, residuals and the acceptance verdict all
+    match solve_boxqp_fixed(scale=True) - so the production tuned budgets
+    (benchfleet.PRESET_STEADY_BUDGET scale entries) mean the same thing on
+    either implementation."""
+    import jax
+    from mpc4quantum_tpu.ops.pallas_qp import boxqp_pallas_big, boxqp_accept
+    from mpc4quantum_tpu.solvers.boxqp import solve_boxqp_fixed, BoxQPParams
+
+    rng = np.random.default_rng(21)
+    B, n = 4, 32  # drag_state-sized
+    G = rng.normal(size=(B, n, n)).astype(np.float32)
+    P = np.einsum("bij,bkj->bik", G, G) / n + 0.5 * np.eye(n, dtype=np.float32)
+    d = np.exp(rng.normal(scale=1.5, size=(B, n))).astype(np.float32)
+    P = P * d[:, :, None] * d[:, None, :]  # diag spread ~ 1e3
+    q = rng.normal(size=(B, n)).astype(np.float32) * d
+    lb = -np.abs(rng.normal(size=(B, n))).astype(np.float32)
+    ub = np.abs(rng.normal(size=(B, n))).astype(np.float32)
+    y0 = rng.normal(size=(B, n)).astype(np.float32) * 0.1
+
+    params = BoxQPParams(max_iter=15, n_rounds=2, scale=True)
+    xk, aux = boxqp_pallas_big(P, q, lb, ub, y0=y0, iters=15, rounds=2,
+                               interpret=True, return_aux=True, scale=True)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    ref = jax.vmap(lambda P, q, lb, ub, y0: solve_boxqp_fixed(
+        P, q, lb, ub, y0=y0, params=params))(
+        f32(P), f32(q), f32(lb), f32(ub), f32(y0))
+    np.testing.assert_allclose(np.asarray(xk), np.asarray(ref.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aux.y), np.asarray(ref.y),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(aux.prim), np.asarray(ref.prim_res),
+                               atol=2e-5)
+    # raw-coordinate dual residuals are d-inflated (up to ~1e3 here), so the
+    # f32 einsum-vs-matvec accumulation difference shows up scaled too
+    np.testing.assert_allclose(np.asarray(aux.dual), np.asarray(ref.dual_res),
+                               rtol=5e-3, atol=2e-4)
+    conv = np.asarray(boxqp_accept(aux, params.eps_abs, params.eps_rel,
+                                   params.accept_abs, params.accept_rel))
+    np.testing.assert_array_equal(conv, np.asarray(ref.converged))
+    # unscaled solve of the same (well-posed) problems at a deep budget is
+    # the oracle: equilibration changes the path, not the optimum
+    deep = jax.vmap(lambda P, q, lb, ub: solve_boxqp_fixed(
+        P, q, lb, ub, params=BoxQPParams(max_iter=400, n_rounds=3,
+                                         unroll=False)))(
+        f32(P), f32(q), f32(lb), f32(ub))
+    assert np.median(np.abs(np.asarray(xk) - np.asarray(deep.x))) < 5e-3
+
+
 def test_big_kernel_chunked_lane_tiles():
     """n > 90 with more than one lane tile takes the single-block-per-tile
     dispatch path (no double-buffered (n,n,LANE) block); results must be

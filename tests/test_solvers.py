@@ -61,6 +61,36 @@ def test_boxqp_unconstrained_matches_linear_solve():
     np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(P, -q), atol=1e-5)
 
 
+def test_boxqp_jacobi_scaled_matches_scipy():
+    """BoxQPParams(scale=True) Jacobi-equilibrates the QP (the core of
+    OSQP's Ruiz scaling, which the reference always ran - optimize.py:59)
+    and must return the SAME unscaled solution/dual, with acceptance judged
+    on raw-space residuals (scaled-space residuals are inflated by the diag
+    spread and declared correct solutions failed - measured on crosstalk's
+    diag-spread-5e5 QPs, experiments/sweep_ruiz.py)."""
+    rng = np.random.default_rng(3)
+    for seed in range(3):
+        P, q, lb, ub = random_boxqp(12, seed)
+        d = np.exp(rng.normal(scale=2.5, size=12))  # diag spread ~ 1e4
+        P = P * np.outer(d, d)
+        q = q * d
+        res = solve_boxqp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(lb),
+                          jnp.asarray(ub),
+                          params=BoxQPParams(scale=True, max_iter=400,
+                                             n_rounds=4))
+        x_ref, f_ref = scipy_boxqp(P, q, lb, ub)
+        x = np.asarray(res.x)
+        f = 0.5 * x @ P @ x + q @ x
+        assert bool(res.converged), f"scaled ADMM not accepted (seed={seed})"
+        assert f <= f_ref + 1e-6 * (1 + abs(f_ref))
+        np.testing.assert_allclose(x, x_ref, atol=2e-4)
+        # KKT stationarity of the returned (x, y) pair in RAW coordinates:
+        # the dual must come back unscaled
+        y = np.asarray(res.y)
+        g = P @ x + q + y
+        assert np.max(np.abs(g)) < 1e-2 * max(1.0, np.max(np.abs(q)))
+
+
 def test_boxqp_feasibility():
     P, q, lb, ub = random_boxqp(8, 7, active_frac=0.05)  # tight box: many active
     res = solve_boxqp(jnp.asarray(P), jnp.asarray(q), jnp.asarray(lb), jnp.asarray(ub))
