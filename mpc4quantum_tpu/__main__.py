@@ -23,6 +23,12 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
     parser.add_argument("--solver", choices=["qp", "lqr"], default=None)
+    parser.add_argument("--checkpoint", default="",
+                        help="npz path for mid-run checkpoint/resume of the "
+                             "hostloop fleet (tunnel-outage insurance); "
+                             "resumes automatically if the file exists")
+    parser.add_argument("--checkpoint-every", type=int, default=10,
+                        help="MPC steps between checkpoints (with --checkpoint)")
     parser.add_argument("--hostloop", action="store_true",
                         help="with --batch: run the fleet through the host-driven "
                              "TPU engine (mpc/hostloop.py) with the tuned kernel "
@@ -67,7 +73,9 @@ def main(argv=None):
         # mode is test-only, so --cpu uses the XLA impls)
         from mpc4quantum_tpu.benchfleet import run_hostloop_fleet
 
-        metrics, _ = run_hostloop_fleet(sc, args.batch, key=key, cpu=args.cpu)
+        metrics, _ = run_hostloop_fleet(sc, args.batch, key=key, cpu=args.cpu,
+                                        checkpoint_path=args.checkpoint or None,
+                                        checkpoint_every=args.checkpoint_every)
         out = dict(metrics, engine="hostloop")
     elif args.batch > 0:
         from mpc4quantum_tpu.parallel.fleet import make_scenario_batch, batched_mpc, fleet_summary

@@ -72,7 +72,9 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        reps: int = 1, warm_sqp_iters: int = 8,
                        granularity: str = "mixed", steady_fuse: int = 3,
                        warm_duals: bool | None = None, steady_qp_params=None,
-                       qp_kernel: str = "auto"):
+                       qp_kernel: str = "auto",
+                       checkpoint_path: str | None = None,
+                       checkpoint_every: int = 0):
     """Run a `batch`-lane detuning-sweep fleet of scenario `sc` end-to-end.
 
     :param sc: a presets.Scenario.
@@ -151,9 +153,13 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         plant_impl="pallas" if (not cpu and is_quantum) else "xla",
     )
 
+    # checkpointing applies to the first (potentially resumed) run only:
+    # timing repetitions must all run the complete loop
+    ck = {"checkpoint_path": checkpoint_path,
+          "checkpoint_every": checkpoint_every} if checkpoint_path else {}
     t0 = time.time()
     out = runner.run(sc.x0, model_np, plants, Xt, Ut, Qn, Rn, Qfn, keys,
-                     record=record)
+                     record=record, **ck)
     first_s = time.time() - t0
     elapsed = first_s
     for _ in range(max(reps - 1, 0)):

@@ -33,6 +33,7 @@ the TPU backend executes and the MXU-shaped form for scenario fleets.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable, NamedTuple, Optional
 
 import numpy as np
@@ -487,13 +488,69 @@ class HostLoopMPC:
                                                    n_iters=self.warm_sqp_iters)
         return progs
 
+    @staticmethod
+    def _fetch_state_leaf(x):
+        """Device->host fetch of one checkpoint leaf, chip-safe: int/bool
+        transfers are unimplemented on the axon backend, so those cast
+        through f32 on device (CLAUDE.md); CxPair re/im parts are already
+        real leaves by the time the tree is flattened."""
+        if isinstance(x, np.ndarray):
+            return x
+        xj = jnp.asarray(x)
+        dt = np.dtype(xj.dtype)
+        if dt.kind in "ib":
+            return np.asarray(xj.astype(jnp.float32)).astype(dt)
+        return np.asarray(xj)
+
+    @staticmethod
+    def _combine_rec(prefix, new):
+        """Concatenate two per-step record dicts along their step axes."""
+        if prefix is None:
+            return new
+        if new is None:
+            return prefix
+        ax = {"xs": 2, "us": 2, "objs": 1, "iters": 1, "active": 1}
+        return {k: np.concatenate([prefix[k], new[k]], axis=ax[k])
+                for k in prefix}
+
+    def _save_ckpt(self, path, state, step, rec):
+        """Atomically persist the loop state (+ the recorded prefix) as one
+        npz: the round-trip is exact, so a resumed run is lane-for-lane
+        identical to an uninterrupted one (tests/test_mpc_e2e.py)."""
+        leaves = jax.tree.leaves(state)
+        data = {f"l{i}": self._fetch_state_leaf(l) for i, l in enumerate(leaves)}
+        data["__step__"] = np.asarray(step, np.int64)
+        if rec is not None:
+            for k, v in rec.items():
+                if np.iscomplexobj(v):
+                    data[f"rec_{k}_re"] = np.ascontiguousarray(v.real)
+                    data[f"rec_{k}_im"] = np.ascontiguousarray(v.imag)
+                else:
+                    data[f"rec_{k}"] = v
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **data)
+        os.replace(tmp, path)
+
     def run(self, x0, model_state, plants, X_targ, U_targ, Q, R, Qf, keys,
-            record: bool = True):
+            record: bool = True, checkpoint_path: str | None = None,
+            checkpoint_every: int = 0, resume: bool = True):
         """Run the batched receding-horizon loop.
 
         :param x0: (dim_e,) shared or (B, dim_e) per-lane initial states.
         :param plants: stacked plant pytree with leading batch axis B.
         :param keys: (B, 2) per-lane PRNG keys.
+        :param checkpoint_path: optional .npz file; with checkpoint_every=k
+            the full loop state (carry, model state, QP duals, step cursor,
+            recorded trajectory prefix) is persisted atomically every k
+            steps, chip-safely (no complex/int transfers). The reference
+            has no persistence at all (SURVEY.md section 5.6); on this
+            environment's TPU tunnel - which drops for hours at a time - a
+            200-step cnot fleet is not runnable without it.
+        :param resume: when True (default) and checkpoint_path exists, the
+            loop restores and continues from the saved step; the final
+            outputs are exactly those of an uninterrupted run. Pass False
+            to overwrite and start cold.
         :return: dict with final_x (B, dim_e) complex, exit_code (B,),
             and - when record=True - the reference's full [xs, us] contract
             (reference mpc.py:294-304): xs (B, dim_e, n_steps+1) per-step
@@ -543,8 +600,45 @@ class HostLoopMPC:
         rdt = x0.real.dtype
         duals = (np.zeros((B, cfg.dim_u * H), rdt), np.zeros((B,), rdt))
 
+        # int/bool device->host fetches are unimplemented on the axon
+        # backend: route them through an eager f32 cast on device
+        fetch_i = lambda a: np.asarray(jnp.asarray(a).astype(jnp.float32)).astype(np.int32)
+        fetch_x = lambda o: (np.asarray(o.re) + 1j * np.asarray(o.im)
+                             if isinstance(o, CxPair) else np.asarray(o))
+
+        def rec_stacks(per):
+            """per-step device outs -> host record dict (step axis last/1)."""
+            if not per:
+                return None
+            return {
+                "xs": np.stack([fetch_x(o[0]) for o in per], axis=2),
+                "us": np.stack([np.asarray(o[1]) for o in per], axis=2),
+                "objs": np.stack([np.asarray(o[2]) for o in per], axis=1),
+                "iters": np.stack([fetch_i(o[3]) for o in per], axis=1),
+                "active": np.stack([fetch_i(o[4]) for o in per], axis=1),
+            }
+
         per_step = []
+        rec_prefix = None  # host-side record restored/flushed at checkpoints
         step = 0
+        if checkpoint_path and resume and os.path.exists(checkpoint_path):
+            data = np.load(checkpoint_path)
+            state = (carry, model_s, duals)
+            leaves, treedef = jax.tree.flatten(state)
+            loaded = [np.asarray(data[f"l{i}"],
+                                 dtype=np.asarray(l).dtype).reshape(np.asarray(l).shape)
+                      for i, l in enumerate(leaves)]
+            carry, model_s, duals = jax.tree.unflatten(treedef, loaded)
+            step = int(data["__step__"])
+            if "rec_xs_re" in data:
+                rec_prefix = {
+                    "xs": np.asarray(data["rec_xs_re"]) + 1j * np.asarray(data["rec_xs_im"]),
+                    "us": np.asarray(data["rec_us"]),
+                    "objs": np.asarray(data["rec_objs"]),
+                    "iters": np.asarray(data["rec_iters"]),
+                    "active": np.asarray(data["rec_active"]),
+                }
+        last_saved = step
         while step < cfg.n_steps:
             warm = (step <= 1) if cfg.warm_start else True
             step_arr = np.asarray(step, np.int32)
@@ -559,6 +653,12 @@ class HostLoopMPC:
                     carry, duals, step_arr, args[0], model_s, *args[2:])
                 duals = outs[5]
                 step += k
+                if (checkpoint_path and checkpoint_every
+                        and step - last_saved >= checkpoint_every
+                        and step < cfg.n_steps):
+                    self._save_ckpt(checkpoint_path, (carry, model_s, duals),
+                                    step, rec_prefix)
+                    last_saved = step
                 continue
             if fused:
                 prog = progs["step_warm"] if warm else progs["step_steady"]
@@ -576,11 +676,18 @@ class HostLoopMPC:
             if record:
                 per_step.append(outs)
             step += 1
+            if (checkpoint_path and checkpoint_every
+                    and step - last_saved >= checkpoint_every
+                    and step < cfg.n_steps):
+                # flush recorded outs to host so the checkpoint carries the
+                # full prefix (and their device buffers can be freed)
+                rec_prefix = self._combine_rec(rec_prefix, rec_stacks(per_step))
+                per_step = []
+                self._save_ckpt(checkpoint_path, (carry, model_s, duals),
+                                step, rec_prefix)
+                last_saved = step
 
         jax.block_until_ready(carry[0].re)
-        # int/bool device->host fetches are unimplemented on the axon
-        # backend: route them through an eager f32 cast on device
-        fetch_i = lambda a: np.asarray(jnp.asarray(a).astype(jnp.float32)).astype(np.int32)
         final_x = np.asarray(carry[0].re) + 1j * np.asarray(carry[0].im)
         out = {
             "final_x": final_x,
@@ -590,14 +697,14 @@ class HostLoopMPC:
         if record:
             # per-step states: each advance's outs[0] (x after the step, the
             # same quantity the scan driver records), prepended with x0 -
-            # the reference's xs contract (reference mpc.py:294-304)
-            fetch_x = lambda o: (np.asarray(o.re) + 1j * np.asarray(o.im)
-                                 if isinstance(o, CxPair) else np.asarray(o))
-            xs = np.stack([x0] + [fetch_x(o[0]) for o in per_step], axis=2)
-            us = np.stack([np.asarray(o[1]) for o in per_step], axis=2)  # (B, dim_u, n)
-            objs = np.stack([np.asarray(o[2]) for o in per_step], axis=1)
-            iters = np.stack([fetch_i(o[3]) for o in per_step], axis=1)
-            active = np.stack([fetch_i(o[4]) for o in per_step], axis=1)
-            out.update(xs=xs, us=us, objs=objs, sqp_iters=iters,
-                       n_valid=active.astype(np.int32).sum(axis=1))
+            # the reference's xs contract (reference mpc.py:294-304);
+            # checkpoint-restored prefixes concatenate ahead of this run's
+            # steps so a resumed run returns the identical full trajectory
+            rec = self._combine_rec(rec_prefix, rec_stacks(per_step))
+            xs = np.concatenate([x0[:, :, None], rec["xs"]], axis=2)
+            out.update(xs=xs, us=rec["us"], objs=rec["objs"],
+                       sqp_iters=rec["iters"],
+                       n_valid=rec["active"].astype(np.int32).sum(axis=1))
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)  # completed: the checkpoint is stale
         return out
