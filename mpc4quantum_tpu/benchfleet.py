@@ -168,7 +168,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                          record=record)
         elapsed = min(elapsed, time.time() - t0)
 
-    fid = np.real(out["final_x"] @ np.conj(sc.target_state))
+    # normalized overlap: unit-norm state-prep targets are unchanged, the
+    # process-space synthesis target (norm ~ sqrt(d)) reports on the same
+    # 0..1-ish scale instead of an unnormalized inner product
+    targ = np.asarray(sc.target_state)
+    fid = np.real(out["final_x"] @ np.conj(targ)) / max(
+        float(np.real(targ @ np.conj(targ))), 1e-12)
     codes = out["exit_code"]
     metrics = {
         "preset": sc.name,
