@@ -29,4 +29,8 @@ run kernels  python experiments/probe_tpu_qpkernels.py
 run flagship env BENCH_PRESETS= BENCH_NO_FALLBACK=1 python bench.py
 run coldref  env BENCH_PRESETS= BENCH_NO_FALLBACK=1 BENCH_WARM_DUALS=0 python bench.py
 run presets  env BENCH_NO_FALLBACK=1 python bench.py
+# equilibration A/B on the presets the tuning table scaled (one per
+# process: a failed execution can wedge the backend)
+run scale_freq python experiments/probe_tpu_scale_ab.py not_state_freq
+run scale_drag python experiments/probe_tpu_scale_ab.py drag_state
 echo "=== session done $(date) ===" | tee -a /tmp/r3_session.log

@@ -77,6 +77,40 @@ def test_crash_resume_equals_uninterrupted(tmp_path, record):
     assert not os.path.exists(ckpt), "completed run must remove its checkpoint"
 
 
+def test_crash_resume_fused_chunks(tmp_path):
+    """The k-fused steady path (granularity='mixed', steady_fuse=k - the
+    production dispatch shape) checkpoints at chunk boundaries and resumes
+    to the uninterrupted outputs."""
+    cfg, sat, du, args = _problem(warm_duals=True)
+    runner = HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
+                         warm_sqp_iters=6, granularity="mixed", steady_fuse=2)
+    full = runner.run(*args, record=False)
+
+    ckpt = str(tmp_path / "fleet.npz")
+    progs = runner._programs
+    orig_k = progs["step_steady_k"]
+    calls = {"n": 0}
+
+    def dropping_k(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # warm steps 0-1 + one 2-step chunk complete
+            raise RuntimeError("simulated tunnel drop")
+        return orig_k(*a, **k)
+
+    progs["step_steady_k"] = dropping_k
+    try:
+        with pytest.raises(RuntimeError, match="tunnel drop"):
+            runner.run(*args, record=False, checkpoint_path=ckpt,
+                       checkpoint_every=2)
+    finally:
+        progs["step_steady_k"] = orig_k
+    assert os.path.exists(ckpt)
+    resumed = runner.run(*args, record=False, checkpoint_path=ckpt,
+                         checkpoint_every=2)
+    _assert_same(resumed, full, record=False)
+    assert not os.path.exists(ckpt)
+
+
 def test_resume_false_starts_cold(tmp_path):
     cfg, sat, du, args = _problem(n_steps=4)
     runner = HostLoopMPC(cfg, sat, du=du, plant_step_fn=quantum_step_taylor,
