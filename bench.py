@@ -346,17 +346,15 @@ def main():
         "not_state_freq": (1024, {}, 0.98),
         "drag_state": (256, {}, 0.98),
         "crosstalk": (256, {}, 0.98),
-        # cnot gate 0.97, NOT 0.98: the worst 1%-detuned lane is
-        # physics-limited, not budget-limited - measured (round 3, batch 64,
-        # PRNGKey(1), full budgets): scan driver with to-convergence SQP =
-        # hostloop cold 3x300 = fid_min 0.96990 exactly
-        # (experiments/probe_cnot_quality.py); the production warm-dual
-        # 2x200 budget reaches 0.9805 (the dual carry helps the worst lane)
-        # but the landscape is +-0.005 across budget shapes, so the hard
-        # gate sits at 0.97 and the artifact records the actual value.
+        # cnot joins the 0.98 bar: the cold-form worst lane is
+        # physics-limited at 0.96990 (scan driver to-convergence == hostloop
+        # cold 3x300, experiments/probe_cnot_quality.py), but the production
+        # rho0=1.0 + warm-dual 2x50 form measures fid_min 0.98685 at batch
+        # 64 full length (benchfleet.PRESET_STEADY_BUDGET) - the dual carry
+        # + penalty retune BEAT the cold ceiling on the worst lane.
         # (The reference never fleet-tests detuned plants; its nominal-plant
         # 0.98 bar is tests/test_presets.py::test_cnot_state_preset.)
-        "cnot_state": (64, {}, 0.97),
+        "cnot_state": (64, {}, 0.98),
         # n_steps=90 so the exit condition can physically fire (see
         # presets.not_gate docstring); quality = every lane exits early
         "not_gate": (128, {"n_steps": 90}, None),

@@ -39,14 +39,18 @@ import numpy as np
 #   drag_state      n=32  cold 2x150  -> scaled 2x12 (min 0.99909 at
 #                   batch 8; 2x10 dips to 0.99876, 1x15 collapses;
 #                   unscaled needs 2x25)
-#   cnot_state      n=150 cold 3x300  -> 2x200 (fid_min 0.9805 vs cold
-#                   0.9699 at batch 64 - warm duals IMPROVE the worst lane;
-#                   3-round warm shapes regress it). Scale stays OFF:
-#                   full-length batch-64 A/B measured scaled 2x100 at
-#                   min 0.97068 (0.0007 above the hard gate - too thin
-#                   for the f32/kernel landscape, +-0.005) and scaled
-#                   2x150 at min 0.963; the mean improves but the worst
-#                   lane does not.
+#   cnot_state      n=150 cold 3x300  -> rho0=1.0 + 2x50 (fid_min 0.98685
+#                   mean 0.99023 at batch 64 FULL length - better than the
+#                   2x200 rho-default form's 0.98045/0.98632 at 1/4 the
+#                   budget, consistent across batch 8 and 64
+#                   (/tmp/sweep_cnot_rho*.log, probe_rho0_steady form:
+#                   rho0 overrides BOTH the warm cfg and the steady
+#                   params). 2x25 is the cliff (42% QP failures). The
+#                   longer-budget regression is real: with dual
+#                   warm-starting the solve sits inside 1-iteration SQP,
+#                   and over-converging against a stale linearization
+#                   hurts the closed loop. Scale stays OFF: scaled 2x100
+#                   left the worst lane 0.0007 above the hard gate.
 #   crosstalk: EXCLUDED from this table - warm_start=False resets the guess
 #   every step, so every step runs the warm program at cfg.qp_params (steady
 #   programs never execute). Its cut lives in the preset itself instead:
@@ -54,16 +58,18 @@ import numpy as np
 #   2x150 default's 0.9980; 2x50 is the cliff at any rho0, and its
 #   mid-trajectory QPs (cond ~1e6, q up to ~600) defeat equilibration at
 #   reduced budgets too (measured: scaled 2x15-2x35 all 100% QP failures).
-# Values are (n_rounds, max_iter, scale); acceptance 4e-3 (the fixed-budget
-# solve's solution is budget-determined - acceptance only declares failure;
+# Values: budget=(n_rounds, max_iter); scale = Jacobi-equilibrate the
+# steady phase; rho0 = initial-penalty override for warm AND steady phases
+# (None = the preset's own). Acceptance 4e-3 (the fixed-budget solve's
+# solution is budget-determined - acceptance only declares failure;
 # closed-loop fidelity is the real gate, asserted in bench.py and
 # tests/test_preset_tuning.py).
 PRESET_STEADY_BUDGET = {
-    "not_state": (2, 10, False),
-    "not_gate": (2, 10, False),
-    "not_state_freq": (2, 15, True),
-    "drag_state": (2, 12, True),
-    "cnot_state": (2, 200, False),
+    "not_state": {"budget": (2, 10)},
+    "not_gate": {"budget": (2, 10)},
+    "not_state_freq": {"budget": (2, 15), "scale": True},
+    "drag_state": {"budget": (2, 12), "scale": True},
+    "cnot_state": {"budget": (2, 50), "rho0": 1.0},
 }
 
 
@@ -112,14 +118,17 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
     step_fn = (quantum_step_taylor if is_quantum
                else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
                else sc.plant_step_fn)
-    tuned_scale = False
+    tuned_rho0 = None
     if warm_duals is None:
         tuned = PRESET_STEADY_BUDGET.get(sc.name)
         warm_duals = tuned is not None or steady_qp_params is not None
         if tuned is not None and steady_qp_params is None:
-            r, i, tuned_scale = tuned
+            r, i = tuned["budget"]
+            tuned_rho0 = tuned.get("rho0")
             steady_qp_params = BoxQPParams(
                 max_iter=i, n_rounds=r,
+                rho0=(tuned_rho0 if tuned_rho0 is not None
+                      else sc.config.qp_params.rho0),
                 eps_abs=sc.config.qp_params.eps_abs,
                 eps_rel=sc.config.qp_params.eps_rel,
                 accept_abs=4e-3, accept_rel=4e-3,
@@ -133,9 +142,15 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                 # scaling the warm phase too was measured WORSE (x64
                 # not_state_freq: 1/8 lanes QP-fail with a scaled warm
                 # phase at the full cold budget vs 0 with it unscaled)
-                scale=tuned_scale or sc.config.qp_params.scale)
+                scale=tuned.get("scale", False) or sc.config.qp_params.scale)
     cfg = dataclasses.replace(sc.config, qp_backend="ns",
                               qp_warm_duals=warm_duals)
+    if tuned_rho0 is not None:
+        # the rho0 override reaches the warm phase too - the carried
+        # (y, rho) that seed the steady solves come from warm solves run at
+        # this rho0 (the configuration the sweeps measured)
+        cfg = dataclasses.replace(
+            cfg, qp_params=cfg.qp_params.replace(rho0=tuned_rho0))
     if cfg.horizon * cfg.dim_u <= 16:
         # the flagship-tuned fixed budget (probe_tpu_budget2.py); larger-n
         # presets keep their own qp_params (e.g. cnot_state's tightened

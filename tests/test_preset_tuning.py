@@ -78,13 +78,14 @@ def test_crosstalk_preset_budget():
 
 @slow
 def test_tuned_budget_cnot_state_full_length():
-    """The big one: n_qp=150, 200 steps. Warm 2x200 must match the cold
-    3x300 ceiling (which is 0.9699 at batch 64 - physics-limited, see
-    bench.py preset_spec note); at batch 4 the worst-lane draw is milder."""
+    """The big one: n_qp=150, 200 steps. The rho0=1.0 + warm-dual 2x50
+    production form must BEAT the cold 3x300 ceiling (0.9699 at batch 64 -
+    physics-limited, see bench.py preset_spec note): measured 0.98685 at
+    batch 64, production path, 1/4 the old 2x200 budget."""
     m = _run("cnot_state", 4)
-    assert m["warm_duals"] and m["steady_budget"] == "2x200", m
+    assert m["warm_duals"] and m["steady_budget"] == "2x50", m
     assert m["qp_fail_frac"] == 0.0 and m["completed_frac"] == 1.0, m
-    assert m["fidelity_min"] >= 0.97, m
+    assert m["fidelity_min"] >= 0.98, m
 
 
 def test_explicit_override_wins():
