@@ -44,8 +44,10 @@ def _run(name, batch, **kw):
 
 def test_tuned_budget_not_state_freq():
     m = _run("not_state_freq", 8)
-    assert m["warm_duals"] and m["steady_budget"] == "2x15", m
-    assert m["qp_scale"], m  # Jacobi equilibration is what buys 2x25 -> 2x15
+    # 2x25 scaled: tail-limited, clean through batch 1024 (benchfleet table
+    # note) - smaller budgets pass at this batch but fail fleet-scale tails
+    assert m["warm_duals"] and m["steady_budget"] == "2x25", m
+    assert m["qp_scale"], m
     assert m["qp_fail_frac"] == 0.0 and m["completed_frac"] == 1.0, m
     assert m["fidelity_min"] >= 0.99, m
 
