@@ -433,6 +433,29 @@ def main():
 if __name__ == "__main__":
     import signal
 
+    # Fast tunnel-down detection: jax.devices() HANGS in-process while the
+    # axon tunnel is down (measured: multi-hour outages; a hung bench
+    # records nothing). Probe the backend in a SUBPROCESS with a short
+    # timeout before touching jax here; fall to CPU immediately if dead.
+    if os.environ.get("BENCH_DEVICE") != "cpu" and not os.environ.get("BENCH_NO_PROBE"):
+        import subprocess
+        import sys as _sys
+
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "assert d and d[0].platform != 'cpu'"],
+                timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "180")),
+                capture_output=True)
+            tpu_ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            tpu_ok = False
+        if not tpu_ok:
+            print("[bench] TPU backend unreachable (subprocess probe); "
+                  "running on CPU", file=__import__("sys").stderr, flush=True)
+            os.environ["BENCH_DEVICE"] = "cpu"
+
     # Watchdog: remote TPU compiles can hang for tens of minutes; a hung
     # bench is worse than a CPU number. SIGALRM turns a hang into the
     # exception path, which re-execs on the CPU backend.
