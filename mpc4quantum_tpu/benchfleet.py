@@ -155,12 +155,20 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         # this rho0 (the configuration the sweeps measured)
         cfg = dataclasses.replace(
             cfg, qp_params=cfg.qp_params.replace(rho0=tuned_rho0))
-    if cfg.horizon * cfg.dim_u <= 16:
-        # the flagship-tuned fixed budget (probe_tpu_budget2.py); larger-n
-        # presets keep their own qp_params (e.g. cnot_state's tightened
-        # targets + full 3x300 budget)
-        cfg = dataclasses.replace(cfg, qp_params=BoxQPParams(max_iter=15,
-                                                             n_rounds=3))
+    default_budget = (BoxQPParams().n_rounds, BoxQPParams().max_iter)
+    if (cfg.horizon * cfg.dim_u <= 16
+            and (sc.config.qp_params.n_rounds,
+                 sc.config.qp_params.max_iter) == default_budget):
+        # small presets whose scenario left qp_params at the library default
+        # get the flagship-tuned warm budget (probe_tpu_budget2.py; round-3
+        # re-sweep at batch 2048 confirms the shape is NOT shrinkable:
+        # 2x15/1x25/1x15 all collapse to 100% QP failures at cold start -
+        # the three rho-rebalance rounds are load-bearing, unlike the
+        # dual-warm-started steady phase). Applied only when the caller
+        # left qp_params untouched, and replacing only the budget fields,
+        # so an explicit unroll/scale/rho0/budget choice survives.
+        cfg = dataclasses.replace(
+            cfg, qp_params=cfg.qp_params.replace(max_iter=15, n_rounds=3))
     runner = HostLoopMPC(
         cfg, sc.sat, du=sc.du, plant_step_fn=step_fn,
         lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
