@@ -347,12 +347,14 @@ def _admm_loop_kernel(kinv_ref, q_ref, lb_ref, ub_ref, rho_ref,
     x-update is a running (n, LANES) FMA over columns with no per-row
     scatter. rho_ref is a (1, LANES) per-lane row, broadcast over n.
 
-    unroll=True flattens both loops into a static FMA chain (no fori_loop,
-    no dynamic_slice): at small n * iters this is the proven-to-lower form
-    on TPU backends whose loop lowerings are limited, and with the inverse
-    already outside the kernel the program is ~2x shorter than the
-    in-kernel Gauss-Jordan form (`_qp_kernel`) at the same budget - the
-    serial-latency lever for the flagship-sized QPs.
+    unroll=True flattens the iteration loop too (no fori_loop at all): at
+    small n * iters this is the shortest-program form, and with the inverse
+    already outside the kernel it is ~2x shorter than the in-kernel
+    Gauss-Jordan form (`_qp_kernel`) at the same budget - measured 2.2-2.7x
+    faster than the small kernel at flagship size on the axon chip
+    (/tmp/r3_kernels.log: 158 ms vs 433 ms steady at B=8192, 2x10).
+    unroll=False keeps a fori_loop over iterations so deep budgets (cnot's
+    2x50 at n=150) cost loop trips, not program size.
     """
     q = q_ref[:]
     lb = lb_ref[:]
@@ -362,17 +364,16 @@ def _admm_loop_kernel(kinv_ref, q_ref, lb_ref, ub_ref, rho_ref,
     def body(xzy):
         x, z, y = xzy
         rhs = sigma * x - q + rho * z - y
-        if unroll:
-            x_t = None
-            for j in range(n):
-                t = kinv_ref[j] * rhs[j : j + 1, :]
-                x_t = t if x_t is None else x_t + t
-        else:
-            def col(j, acc):
-                rj = jax.lax.dynamic_slice(rhs, (j, 0), (1, rhs.shape[1]))
-                return acc + kinv_ref[j] * rj
-
-            x_t = jax.lax.fori_loop(0, n, col, jnp.zeros_like(rhs))
+        # column accumulation is STATICALLY unrolled in both forms (n is a
+        # trace-time constant): dynamic ref indexing / lax.dynamic_slice is
+        # an unimplemented Pallas-TPU lowering on the axon backend (measured:
+        # "Unimplemented primitive ... KernelType.TC: dynamic_slice"), and a
+        # static O(n) FMA chain per iteration is small even at n = 150.
+        # unroll only controls whether the ITERS loop is flattened too.
+        x_t = None
+        for j in range(n):
+            t = kinv_ref[j] * rhs[j : j + 1, :]
+            x_t = t if x_t is None else x_t + t
         z_arg = alpha * x_t + (1.0 - alpha) * z
         z_new = jnp.minimum(jnp.maximum(z_arg + y / rho, lb), ub)
         y_new = y + rho * (z_arg - z_new)
