@@ -1,0 +1,68 @@
+"""TPU probe: warm-dual 2x10 vs cold 3x15 flagship rollouts, ONE process,
+same data — the clean A/B the VERDICT r2 item 3 asks for (>=1.3x at the
+0.98 gate). Separate-process attempts are confounded by the tunnel's 3x
+run-condition spread; in-process, the spread cancels.
+
+Env: PW_BATCH (8192).
+"""
+import os, sys, time, traceback
+import numpy as np
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_default_matmul_precision", "highest")
+import mpc4quantum_tpu as m4q
+from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
+from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
+from mpc4quantum_tpu.solvers.boxqp import BoxQPParams
+from probe_tpu_safe import build, H, DT, ORDER, SAT, DU
+
+N_STEPS = 20
+
+
+def run_form(tag, warm, data, batch):
+    model, plants, keys, rho0, X_targ, U_targ, Q, R = data
+    cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
+                        qp_backend="ns", qp_warm_duals=warm,
+                        qp_params=BoxQPParams(max_iter=15, n_rounds=3))
+    steady_qp = (BoxQPParams(max_iter=10, n_rounds=2,
+                             accept_abs=4e-3, accept_rel=4e-3) if warm else None)
+    try:
+        r = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
+                        warm_sqp_iters=8, granularity="step", steady_fuse=3,
+                        qp_impl="pallas", plant_impl="pallas",
+                        steady_qp_params=steady_qp, qp_kernel="auto")
+        t0 = time.time()
+        out = r.run(rho0, model, plants, X_targ, U_targ, Q, R, Q, keys, record=False)
+        first = time.time() - t0
+        times = []
+        for _ in range(4):
+            t0 = time.time()
+            out = r.run(rho0, model, plants, X_targ, U_targ, Q, R, Q, keys,
+                        record=False)
+            times.append(time.time() - t0)
+        best = min(times)
+        fid = out["final_x"][:, 3].real
+        print(f"[{tag}] first={first:.0f}s steady={best*1e3:.0f}ms "
+              f"-> {batch/best:.0f} r/s fid={fid.mean():.5f}/{fid.min():.5f} "
+              f"fails={(out['exit_code'] != 0).sum()}", flush=True)
+        return batch / best, float(fid.min())
+    except Exception:
+        print(f"[{tag}] FAIL", flush=True)
+        traceback.print_exc()
+        return 0.0, 0.0
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    batch = int(os.environ.get("PW_BATCH", "8192"))
+    data = build(batch)
+    cold, cold_min = run_form("cold 3x15", False, data, batch)
+    warm, warm_min = run_form("warm 2x10", True, data, batch)
+    if cold and warm:
+        print(f"warm/cold = {warm/cold:.2f}x  (gates: warm min fid "
+              f"{warm_min:.5f}, cold {cold_min:.5f})", flush=True)
+    print("PROBE_WARMCOLD_DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
