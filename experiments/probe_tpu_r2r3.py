@@ -9,7 +9,6 @@ sys.path.insert(0, "/root/repo/experiments")
 import jax
 jax.config.update("jax_default_matmul_precision", "highest")
 from probe_tpu_safe import build
-from probe_tpu_warmcold import run_form as _run  # noqa: E402
 import mpc4quantum_tpu as m4q
 from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
 from mpc4quantum_tpu.plants.quantum import quantum_step_taylor
