@@ -171,6 +171,55 @@ def cpu_baseline_rollout(detune=0.99):
 
 
 # ---------------------------------------------------------------------------
+# device calibration (cross-session comparability)
+# ---------------------------------------------------------------------------
+
+
+def device_calibration(reps: int = 3):
+    """Fixed-work device probes, reported alongside every bench line.
+
+    The measured cross-session chip/tunnel spread is ~3x on identical
+    programs (STATUS round 3), so raw rollouts/s from different sessions are
+    not comparable. Two canned probes pin the session's condition:
+      - calib_chain_ms: ONE program with a serial in-graph chain of 200
+        batched (4096, 32, 32) matmuls - tracks effective serial-dependent
+        execution throughput, the regime every MPC program lives in;
+      - calib_dispatch_ms: 32 separate dispatches of a trivial program -
+        tracks tunnel/runtime dispatch latency, the other axis that moves.
+    Both are medians of `reps` timed repetitions after a warmup run.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(x, w):
+        for _ in range(200):
+            x = jnp.tanh(x @ w)
+        return x
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    x = jnp.ones((4096, 32), jnp.float32)
+    w = jnp.eye(32, dtype=jnp.float32) * 0.5
+    t = jnp.ones((8,), jnp.float32)
+    chain(x, w).block_until_ready()
+    tiny(t).block_until_ready()
+    chain_ms, disp_ms = [], []
+    for _ in range(reps):
+        t0 = time.time()
+        chain(x, w).block_until_ready()
+        chain_ms.append((time.time() - t0) * 1e3)
+        t0 = time.time()
+        for _ in range(32):
+            t = tiny(t)
+        t.block_until_ready()
+        disp_ms.append((time.time() - t0) * 1e3 / 32)
+    return round(float(np.median(chain_ms)), 2), round(float(np.median(disp_ms)), 3)
+
+
+# ---------------------------------------------------------------------------
 # TPU batched engine
 # ---------------------------------------------------------------------------
 
@@ -191,6 +240,21 @@ def main():
     # bf16 matmul precision (the TPU default) is too coarse for the QP
     # conditioning at these tiny dims; FLOPs are negligible - run f32 full.
     jax.config.update("jax_default_matmul_precision", "highest")
+    # Persistent compilation cache (VERDICT r3 item 6): BENCH_r03 paid
+    # compile_s=199 in every fresh process. Point the cache at a repo-local
+    # dir (this environment's /tmp dies with the container) and cache
+    # everything regardless of size/compile time. Whether the axon
+    # remote-compile path honors it is itself a measurement - compile_s in
+    # consecutive-process artifacts answers it.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                            ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        cache_dir = None  # older jax without the knobs: run uncached
     import mpc4quantum_tpu as m4q
     from mpc4quantum_tpu.models.dmdc import dmdc_from_operator
     from mpc4quantum_tpu.parallel.fleet import make_scenario_batch, batched_mpc, fleet_summary
@@ -247,6 +311,7 @@ def main():
     # 3 steady steps per dispatch: the sweep optimum (probe_tpu_fuse.py;
     # k=1 is dispatch-latency-bound, k=6 regresses)
     fuse = int(os.environ.get("BENCH_FUSE", "1" if on_cpu else "3"))
+    warm_iters = None  # set by the hostloop branch
 
     if path == "hostloop":
         from mpc4quantum_tpu.mpc.hostloop import HostLoopMPC
@@ -271,6 +336,14 @@ def main():
         # with the XLA/sqp round-1-proven form before falling to CPU.
         warm_duals = os.environ.get("BENCH_WARM_DUALS", "1") == "1"
         qp_kernel = os.environ.get("BENCH_QP_KERNEL", "auto")
+        # Round-4 warm-phase cut (experiments/sweep_warm_lqr.py, batch 2048):
+        # from the shifted step-0 guess, warm step 1 converges in ONE
+        # line-searched SQP iteration - (8, 1) is bit-equal in fleet quality
+        # to the flat (8, 8) budget (fid 0.99927/0.99878, zero failures) at
+        # 1.41x fewer warm-chain serial ADMM iterations. BENCH_WARM_ITERS
+        # overrides, e.g. "8,8" for the round-3 flat form.
+        warm_iters = tuple(int(v) for v in
+                           os.environ.get("BENCH_WARM_ITERS", "8,1").split(","))
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
                             qp_backend="ns", qp_warm_duals=warm_duals,
                             qp_params=BoxQPParams(max_iter=15, n_rounds=3))
@@ -278,7 +351,8 @@ def main():
                                  accept_abs=4e-3, accept_rel=4e-3)
                      if warm_duals else None)
         runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
-                             warm_sqp_iters=8, qp_impl=qp_impl, plant_impl=plant_impl,
+                             warm_sqp_iters=warm_iters, qp_impl=qp_impl,
+                             plant_impl=plant_impl,
                              granularity=gran, steady_fuse=fuse,
                              steady_qp_params=steady_qp, qp_kernel=qp_kernel)
 
@@ -380,6 +454,11 @@ def main():
                 assert m["exit_early_frac"] == 1.0, f"{name}: {m}"  # gate synthesized
             preset_results[name] = m
 
+    # Device calibration (VERDICT r3 item 2): fixed-work probes recorded in
+    # the artifact so cross-session numbers can be compared under the
+    # measured ~3x chip/tunnel condition spread.
+    calib_chain_ms, calib_dispatch_ms = device_calibration()
+
     # CPU baseline: sequential single-scenario rollouts. The single-rollout
     # timing swung 2.7x between rounds (0.657 s vs 1.763 s, BENCH_r01 vs
     # BENCH_r02 - same code, host load); take the MEDIAN of >= 5 rollouts and
@@ -416,6 +495,19 @@ def main():
         "baseline_cpu_s_per_rollout": round(cpu_s, 3),
         "baseline_cpu_s_spread": [round(min(cpu_times), 3), round(max(cpu_times), 3)],
         "baseline_cpu_fidelity": round(fid_cpu, 5),
+        # explicit quiet-host multiplier: the live baseline's denominator
+        # swings 10x+ with host load (round-3 measured spread 0.07-2.8
+        # s/rollout); 0.064 s/rollout is the recorded QUIET-host median
+        # (BENCH_r03.json, baseline_cpu_s_per_rollout at spread [0.06, 1.01])
+        # - the denominator the >=1000x north star is defined against.
+        "vs_baseline_quiet_r03": round(rollouts_per_s * 0.064, 1),
+        # fixed-work device probes: session condition fingerprint (see
+        # device_calibration docstring). Compare artifacts ONLY after
+        # normalizing by these.
+        "calib_chain_ms": calib_chain_ms,
+        "calib_dispatch_ms": calib_dispatch_ms,
+        "compile_cache": bool(cache_dir),
+        "warm_sqp_iters": (list(warm_iters) if warm_iters is not None else "-"),
         "compile_s": round(compile_s, 1),
         "qp_solves_per_s": round(rollouts_per_s * N_STEPS, 1),
     }

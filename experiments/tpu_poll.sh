@@ -4,7 +4,7 @@
 LOG=/root/repo/experiments/logs/r4_tpu_poll.log
 while true; do
   ts=$(date +%H:%M:%S)
-  if timeout 300 python /tmp/tpu_health.py > /tmp/tpu_probe_out.txt 2>&1; then
+  if timeout 700 python /tmp/tpu_health.py > /tmp/tpu_probe_out.txt 2>&1; then
     echo "$ts TPU OK: $(tail -1 /tmp/tpu_probe_out.txt)" >> "$LOG"
     exit 0
   else

@@ -29,6 +29,9 @@ def main(argv=None):
                              "resumes automatically if the file exists")
     parser.add_argument("--checkpoint-every", type=int, default=10,
                         help="MPC steps between checkpoints (with --checkpoint)")
+    parser.add_argument("--progress-every", type=int, default=0,
+                        help="hostloop heartbeat: print step/throughput/"
+                             "done-fraction every k steps (0 = silent)")
     parser.add_argument("--hostloop", action="store_true",
                         help="with --batch: run the fleet through the host-driven "
                              "TPU engine (mpc/hostloop.py) with the tuned kernel "
@@ -75,7 +78,8 @@ def main(argv=None):
 
         metrics, _ = run_hostloop_fleet(sc, args.batch, key=key, cpu=args.cpu,
                                         checkpoint_path=args.checkpoint or None,
-                                        checkpoint_every=args.checkpoint_every)
+                                        checkpoint_every=args.checkpoint_every,
+                                        progress_every=args.progress_every)
         out = dict(metrics, engine="hostloop")
     elif args.batch > 0:
         from mpc4quantum_tpu.parallel.fleet import make_scenario_batch, batched_mpc, fleet_summary

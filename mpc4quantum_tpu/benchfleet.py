@@ -79,18 +79,24 @@ PRESET_STEADY_BUDGET = {
 
 def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        record: bool = False, detune_scale: float = 0.01,
-                       reps: int = 1, warm_sqp_iters: int = 8,
+                       reps: int = 1, warm_sqp_iters=8,
                        granularity: str = "mixed", steady_fuse: int = 3,
                        warm_duals: bool | None = None, steady_qp_params=None,
                        qp_kernel: str = "auto",
+                       lqr_seed: bool | None = None,
                        checkpoint_path: str | None = None,
-                       checkpoint_every: int = 0):
+                       checkpoint_every: int = 0,
+                       progress_every: int = 0):
     """Run a `batch`-lane detuning-sweep fleet of scenario `sc` end-to-end.
 
     :param sc: a presets.Scenario.
     :param cpu: True = XLA impls everywhere (kernels need real hardware).
     :param reps: total runs; the reported rate uses the best timed run (the
         first run pays compiles and is reported separately as first_run_s).
+    :param warm_sqp_iters: SQP iteration budget of the warm steps - one int
+        for all, or a per-warm-step tuple, e.g. (8, 2) (see HostLoopMPC).
+    :param lqr_seed: None = preset default; True/False force the LQR-seeded
+        initial guess (MPCConfig.lqr_seed).
     :param warm_duals: None = the production default (dual warm-starting
         with the preset's swept steady budget where PRESET_STEADY_BUDGET
         has an entry, cold otherwise); True/False force it (False = the
@@ -149,6 +155,8 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                 scale=tuned.get("scale", False) or sc.config.qp_params.scale)
     cfg = dataclasses.replace(sc.config, qp_backend="ns",
                               qp_warm_duals=warm_duals)
+    if lqr_seed is not None:
+        cfg = dataclasses.replace(cfg, lqr_seed=lqr_seed)
     if tuned_rho0 is not None:
         # the rho0 override reaches the warm phase too - the carried
         # (y, rho) that seed the steady solves come from warm solves run at
@@ -186,13 +194,13 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
           "checkpoint_every": checkpoint_every} if checkpoint_path else {}
     t0 = time.time()
     out = runner.run(sc.x0, model_np, plants, Xt, Ut, Qn, Rn, Qfn, keys,
-                     record=record, **ck)
+                     record=record, progress_every=progress_every, **ck)
     first_s = time.time() - t0
     elapsed = first_s
     for _ in range(max(reps - 1, 0)):
         t0 = time.time()
         out = runner.run(sc.x0, model_np, plants, Xt, Ut, Qn, Rn, Qfn, keys,
-                         record=record)
+                         record=record, progress_every=progress_every)
         elapsed = min(elapsed, time.time() - t0)
 
     # normalized overlap: unit-norm state-prep targets are unchanged, the
@@ -215,6 +223,10 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         "qp_impl": runner.qp_impl,
         "plant_impl": runner.plant_impl,
         "warm_duals": bool(warm_duals),
+        "warm_sqp_iters": (list(warm_sqp_iters)
+                           if isinstance(warm_sqp_iters, (tuple, list))
+                           else warm_sqp_iters),
+        "lqr_seed": bool(cfg.lqr_seed),
         # equilibration state of the hot (steady) phase - the warm phase
         # always runs in the preset's own space (see PRESET_STEADY_BUDGET)
         "qp_scale": bool(steady_qp_params.scale if (warm_duals and

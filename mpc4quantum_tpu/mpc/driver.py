@@ -93,6 +93,15 @@ class MPCConfig:
     # requires, the dominant serial cost on latency-bound TPU dispatch.
     # Off by default: bit-identical to the cold-start reference semantics.
     qp_warm_duals: bool = False
+    # seed the initial guess trajectory with the clipped affine-tracking LQR
+    # solution of the step-0 linearization instead of the reference's
+    # SDRE-style repeat(lift(x0)) (reference mpc.py:139-142). The LQR rollout
+    # is near-feasible and near-optimal when saturation is rarely active, so
+    # the warm-phase SQP starts next to its fixed point - measured to cut
+    # the warm-phase iteration budget (the serial floor VERDICT r3 item 1;
+    # the reference's own lqr.py is dead code proposed for exactly this).
+    # Off by default: bit-identical to the reference cold init.
+    lqr_seed: bool = False
     # trajectory recording inside the scan: "dus" (dynamic_update_slice row
     # writes), "onehot" (multiply-add accumulation - no scatter, for backends
     # whose loops lack DUS), "none" (final state only; xs/us outputs zeroed)
@@ -418,6 +427,39 @@ def make_mpc_step(
     return step_fn
 
 
+def lqr_seed_guess(model_A, lift_x0, X_targ, U_targ, Q_s, R_s, sat, config):
+    """Warm-phase initial guess from the affine-tracking LQR fast path.
+
+    Linearizes the bilinear model at the SDRE-style guess (X = repeat(x0),
+    U = 0 - the reference init, mpc.py:139-142), solves the horizon with the
+    solver-free clipped LQR (reference lqr.py:14-79 semantics,
+    Delta-consistent), and returns its rollout as (X_guess, U_guess). The
+    rollout is dynamics-consistent and saturation-clipped, so the first QP's
+    linearization is taken along a near-optimal trajectory and its ADMM warm
+    start (U_warm = U_guess) begins near the solution - the LQR-seeded
+    attack on the warm-phase serial-iteration floor.
+
+    :param model_A: (dim_x, dim_x*L) stacked model operator.
+    :param lift_x0: (dim_x,) model-space initial state.
+    :return: (X_guess (dim_x, H+1) complex, U_guess (dim_u, H) real).
+    """
+    H, dim_u = config.horizon, config.dim_u
+    dim_x = lift_x0.shape[0]
+    cdtype = model_A.dtype
+    Xg = jnp.tile(lift_x0[:, None].astype(cdtype), (1, H + 1))
+    Ug = jnp.zeros((dim_u, H), Xg.real.dtype)
+    bmodel = BilinearModel.from_stacked(
+        model_A[:, :dim_x], model_A[:, dim_x:], dim_u, config.order)
+    A_s, B_s, D_s = model_along_traj(bmodel, Xg[:, :H], Ug)
+    X_ref = jnp.asarray(X_targ, cdtype)[:, : H + 1]
+    U_ref = jnp.asarray(U_targ)[:, :H].astype(Ug.dtype)
+    res = lqr_quad_program(lift_x0.astype(cdtype), X_ref, U_ref, Q_s, R_s,
+                           A_s, B_s, sat=sat, Delta_s=D_s)
+    X_seed = jnp.where(jnp.all(jnp.isfinite(jnp.abs(res.X))), res.X, Xg)
+    U_seed = jnp.where(jnp.all(jnp.isfinite(res.U)), res.U.astype(Ug.dtype), Ug)
+    return X_seed, U_seed
+
+
 def mpc(
     x0,
     model_state,
@@ -477,6 +519,11 @@ def mpc(
 
     X_guess0 = jnp.tile(lift_x0[:, None].astype(cdtype), (1, H + 1))
     U_guess0 = jnp.zeros((dim_u, H), jnp.asarray(sat).dtype if hasattr(sat, "dtype") else X_guess0.real.dtype)
+    if config.lqr_seed:
+        X_guess0, U_guess0 = lqr_seed_guess(
+            model_state.A, lift_x0, X_targ, U_targ, Q_s, R_s, sat, config)
+        U_guess0 = U_guess0.astype(
+            jnp.asarray(sat).dtype if hasattr(sat, "dtype") else X_guess0.real.dtype)
 
     Xt = jnp.asarray(X_targ, cdtype)
     Ut = jnp.asarray(U_targ)

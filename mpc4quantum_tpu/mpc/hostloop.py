@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
+import time
 from typing import Any, Callable, NamedTuple, Optional
 
 import numpy as np
@@ -141,7 +143,22 @@ class HostLoopMPC:
         self.config = config
         self.sat = sat
         self.du = du
-        self.warm_sqp_iters = warm_sqp_iters
+        # warm_sqp_iters: one budget for every warm step (int), or a
+        # per-warm-step tuple, e.g. (8, 2): step 0 runs 8 masked SQP
+        # iterations, steps >= 1 run 2 (steps beyond the tuple use its last
+        # entry - only reachable when warm_start=False makes every step
+        # warm). Measured motivation: from the shifted step-0 guess, step 1
+        # converges in 1-2 line-searched iterations on the state-prep
+        # presets, so a flat budget wastes most of the second warm
+        # program's serial QP chain.
+        wi = (tuple(int(v) for v in warm_sqp_iters)
+              if isinstance(warm_sqp_iters, (tuple, list))
+              else (int(warm_sqp_iters),))
+        if not wi or any(v < 1 for v in wi):
+            raise ValueError(f"warm_sqp_iters={warm_sqp_iters!r}: need >= 1 "
+                             "iteration per warm step")
+        self._warm_iters = wi
+        self.warm_sqp_iters = max(wi)
         self.granularity = granularity
         self.qp_impl = qp_impl
         self.plant_impl = plant_impl
@@ -485,18 +502,25 @@ class HostLoopMPC:
                         self._mk_steady, single_shot=True, qp=qp_steady,
                         n_iters=1, k=self.steady_fuse)
                 if self.granularity == "step":
-                    progs["step_warm"] = make_step_pallas(
-                        self._mk_warm, single_shot=False, qp=qp_warm,
-                        n_iters=self.warm_sqp_iters)
+                    for n_it in sorted(set(self._warm_iters)):
+                        progs[f"step_warm_{n_it}"] = make_step_pallas(
+                            self._mk_warm, single_shot=False, qp=qp_warm,
+                            n_iters=n_it)
             else:
                 progs["step_steady"] = make_step(self._mk_steady, n_iters=1)
                 if self.steady_fuse > 1:
                     progs["step_steady_k"] = make_step(self._mk_steady, n_iters=1,
                                                        k=self.steady_fuse)
                 if self.granularity == "step":
-                    progs["step_warm"] = make_step(self._mk_warm,
-                                                   n_iters=self.warm_sqp_iters)
+                    for n_it in sorted(set(self._warm_iters)):
+                        progs[f"step_warm_{n_it}"] = make_step(
+                            self._mk_warm, n_iters=n_it)
         return progs
+
+    def _warm_iters_for(self, step: int) -> int:
+        """Per-warm-step SQP iteration budget (tuple indexed by step,
+        clamped to its last entry)."""
+        return self._warm_iters[min(step, len(self._warm_iters) - 1)]
 
     @staticmethod
     def _fetch_state_leaf(x):
@@ -544,7 +568,8 @@ class HostLoopMPC:
 
     def run(self, x0, model_state, plants, X_targ, U_targ, Q, R, Qf, keys,
             record: bool = True, checkpoint_path: str | None = None,
-            checkpoint_every: int = 0, resume: bool = True):
+            checkpoint_every: int = 0, resume: bool = True,
+            progress_every: int = 0):
         """Run the batched receding-horizon loop.
 
         :param x0: (dim_e,) shared or (B, dim_e) per-lane initial states.
@@ -561,6 +586,11 @@ class HostLoopMPC:
             loop restores and continues from the saved step; the final
             outputs are exactly those of an uninterrupted run. Pass False
             to overwrite and start cold.
+        :param progress_every: emit a heartbeat line to stderr every k host
+            steps (step cursor, wall throughput, fleet done-fraction) - the
+            tqdm analogue (reference mpc.py:161) for long fleets whose
+            checkpoints are minutes apart. Each heartbeat syncs one small
+            device fetch; 0 (default) = silent.
         :return: dict with final_x (B, dim_e) complex, exit_code (B,),
             and - when record=True - the reference's full [xs, us] contract
             (reference mpc.py:294-304): xs (B, dim_e, n_steps+1) per-step
@@ -584,6 +614,32 @@ class HostLoopMPC:
                 jax.tree.map(jnp.asarray, plants), jnp.asarray(x0))).astype(cdtype)
         Xg = np.repeat(lx0[:, :, None], H + 1, axis=2)
         Ug = np.zeros((B, cfg.dim_u, H), x0.real.dtype)
+        if cfg.lqr_seed:
+            # LQR-seeded warm-phase guess (see driver.lqr_seed_guess),
+            # computed host-side on the CPU backend like the SDRE init above.
+            # The model/targets/costs are lane-identical at init, so when the
+            # lifted initial states are too (the fleet case: one x0, per-lane
+            # plant detunings) ONE seed is solved and tiled - free at any B.
+            from .driver import lqr_seed_guess
+
+            with jax.default_device(jax.devices("cpu")[0]):
+                A0 = jnp.asarray(np.asarray(model_state.A))
+                Q_sj = jnp.concatenate(
+                    [jnp.tile(jnp.asarray(Q)[None], (H, 1, 1)),
+                     jnp.asarray(Qf)[None]], axis=0)
+                R_sj = jnp.tile(jnp.asarray(R)[None], (H, 1, 1))
+                if np.all(lx0 == lx0[0]):
+                    Xs, Us = lqr_seed_guess(A0, jnp.asarray(lx0[0]),
+                                            jnp.asarray(X_targ), jnp.asarray(U_targ),
+                                            Q_sj, R_sj, self.sat, cfg)
+                    Xg = np.tile(np.asarray(Xs)[None], (B, 1, 1)).astype(cdtype)
+                    Ug = np.tile(np.asarray(Us)[None], (B, 1, 1)).astype(x0.real.dtype)
+                else:
+                    seed = jax.vmap(lambda l: lqr_seed_guess(
+                        A0, l, jnp.asarray(X_targ), jnp.asarray(U_targ),
+                        Q_sj, R_sj, self.sat, cfg))(jnp.asarray(lx0))
+                    Xg = np.asarray(seed[0]).astype(cdtype)
+                    Ug = np.asarray(seed[1]).astype(x0.real.dtype)
         u_last = np.tile(np.asarray(U_targ)[None, :, 0], (B, 1)).astype(x0.real.dtype)
         carry = split_cx((
             x0, x0.copy(), Xg, Ug, u_last, np.asarray(keys),
@@ -649,7 +705,19 @@ class HostLoopMPC:
                     "active": np.asarray(data["rec_active"]),
                 }
         last_saved = step
+        hb_t0, hb_step0, last_hb = time.time(), step, step
         while step < cfg.n_steps:
+            if progress_every and step - last_hb >= progress_every:
+                # done flags are bool on device; fetch through f32 (chip-safe)
+                done_frac = float(np.asarray(
+                    jnp.asarray(carry[7]).astype(jnp.float32)).mean())
+                dt = max(time.time() - hb_t0, 1e-9)
+                print(f"[hostloop] step {step}/{cfg.n_steps} B={B} "
+                      f"{(step - hb_step0) / dt:.2f} steps/s "
+                      f"({B * (step - hb_step0) / dt:.0f} lane-steps/s) "
+                      f"done_frac={done_frac:.3f} elapsed={dt:.1f}s",
+                      file=sys.stderr, flush=True)
+                last_hb = step
             warm = (step <= 1) if cfg.warm_start else True
             step_arr = np.asarray(step, np.int32)
             fused = (self.granularity == "step"
@@ -671,12 +739,13 @@ class HostLoopMPC:
                     last_saved = step
                 continue
             if fused:
-                prog = progs["step_warm"] if warm else progs["step_steady"]
+                prog = (progs[f"step_warm_{self._warm_iters_for(step)}"]
+                        if warm else progs["step_steady"])
                 carry, model_s, outs = prog(carry, duals, step_arr, args[0],
                                             model_s, *args[2:])
             else:
                 it_prog = progs["iter_warm"] if warm else progs["iter_steady"]
-                n_it = self.warm_sqp_iters if warm else 1
+                n_it = self._warm_iters_for(step) if warm else 1
                 s = progs["init"](carry, duals)
                 for _ in range(n_it):
                     s = it_prog(carry, s, step_arr, args[0], model_s, *args[2:])
