@@ -29,7 +29,13 @@ from .ops.library import (
     diff_lift_controls,
     krtimes,
 )
-from .ops.liouville import vectorize_me, discretize_homogeneous, liouville_generator
+from .ops.liouville import (
+    vectorize_me,
+    discretize_homogeneous,
+    liouville_generator,
+    dissipator,
+    lindblad_generator,
+)
 from .ops.bilinear import BilinearModel, model_along_traj, model_from_initial
 from .ops.expm import expm_pade, propagators_from_controls
 from .solvers.boxqp import BoxQPParams, solve_boxqp
@@ -67,6 +73,12 @@ from .plants.quantum import (
 )
 from .plants.synthesis import SynthesisPlant, lift_unitary, proj_process, synthesis_simulate
 from .plants.classical import ClassicalPlant, VanDerPol, Rotor, rk4_simulate
+from .plants.lindblad import (
+    LindbladPlant,
+    lindblad_step,
+    lindblad_step_taylor,
+    lindblad_simulate,
+)
 from . import plants, models, ops, solvers, utils, systems
 from .mpc.clock import StepClock, val_to_str
 from .mpc.driver import MPCConfig, MPCResult, make_mpc_step, trim

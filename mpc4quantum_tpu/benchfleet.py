@@ -124,9 +124,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         Xt, Ut = np.asarray(sc.X_targ), np.asarray(sc.U_targ)
         Qn, Rn, Qfn = np.asarray(sc.Q), np.asarray(sc.R), np.asarray(sc.Qf)
 
+    from .plants.lindblad import LindbladPlant, lindblad_step_taylor
+
     is_quantum = isinstance(sc.plant, QuantumPlant)
     step_fn = (quantum_step_taylor if is_quantum
                else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
+               else lindblad_step_taylor if isinstance(sc.plant, LindbladPlant)
                else sc.plant_step_fn)
     tuned_rho0 = None
     if warm_duals is None:

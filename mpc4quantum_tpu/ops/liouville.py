@@ -67,6 +67,38 @@ def liouville_generator(H) -> jnp.ndarray:
     return -1j * (jnp.kron(H, eye) - jnp.kron(eye, H.T))
 
 
+def dissipator(L) -> jnp.ndarray:
+    """Lindblad dissipator superoperator for the row-major vec convention.
+
+    D[L] vec(ρ) = vec(L ρ L† − ½{L†L, ρ}). With row-major vec
+    (vec(ABC) = (A ⊗ Cᵀ) vec(B)):
+        D[L] = L ⊗ conj(L) − ½ ((L†L) ⊗ I + I ⊗ (L†L)ᵀ).
+    This is the open-system capability class of the reference's plant
+    (qutip.mesolve accepts collapse operators, reference experiment.py:209,
+    even though its tests run unitarily).
+    """
+    L = jnp.asarray(L, dtype=default_cdtype())
+    d = L.shape[0]
+    eye = jnp.eye(d, dtype=L.dtype)
+    LdL = L.conj().T @ L
+    return (jnp.kron(L, jnp.conj(L))
+            - 0.5 * (jnp.kron(LdL, eye) + jnp.kron(eye, LdL.T)))
+
+
+def lindblad_generator(H, c_ops=()) -> jnp.ndarray:
+    """Full Lindbladian A = -i(H⊗I − I⊗Hᵀ) + Σ_k D[L_k] (row-major vec).
+
+    The drift generator of the master equation
+    dρ/dt = -i[H, ρ] + Σ_k (L_k ρ L_k† − ½{L_k†L_k, ρ}); propagate with
+    x⁺ = expm(dt·A) x. Trace preservation (1ᵀ_diag A = 0) and the pure-decay
+    analytic solution are asserted in tests/test_lindblad.py.
+    """
+    A = liouville_generator(H)
+    for L in c_ops:
+        A = A + dissipator(L)
+    return A
+
+
 def discretize_homogeneous(A_cts_list, dt, order: int) -> jnp.ndarray:
     """Order-k Dyson/Taylor discretization of bilinear dynamics.
 

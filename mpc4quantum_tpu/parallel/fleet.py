@@ -51,11 +51,21 @@ def make_scenario_batch(key, base_plant, n: int, detune_scale: float = 0.01,
     eps_det = detune_scale * jax.random.normal(k_det, (n,))
     eps_drv = drive_scale * jax.random.normal(k_drv, (n,))
 
-    def make(eps_d, eps_a):
-        return base_plant.replace(
-            H0=base_plant.H0 * (1.0 + eps_d).astype(base_plant.H0.dtype),
-            H1s=base_plant.H1s * (1.0 + eps_a).astype(base_plant.H1s.dtype),
-        )
+    if hasattr(base_plant, "AH0"):
+        # LindbladPlant: perturb the COHERENT drift/drive superoperators (the
+        # Liouville commutators are linear in H, so scaling them == scaling
+        # the Hamiltonians); the dissipator stays physical.
+        def make(eps_d, eps_a):
+            return base_plant.replace(
+                AH0=base_plant.AH0 * (1.0 + eps_d).astype(base_plant.AH0.dtype),
+                A1s=base_plant.A1s * (1.0 + eps_a).astype(base_plant.A1s.dtype),
+            )
+    else:
+        def make(eps_d, eps_a):
+            return base_plant.replace(
+                H0=base_plant.H0 * (1.0 + eps_d).astype(base_plant.H0.dtype),
+                H1s=base_plant.H1s * (1.0 + eps_a).astype(base_plant.H1s.dtype),
+            )
 
     plants = jax.vmap(make)(eps_det, eps_drv)
     keys = jax.random.split(k_sim, n)

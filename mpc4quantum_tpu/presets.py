@@ -318,6 +318,58 @@ def not_gate(order: int = 1, n_steps: int = 50) -> Scenario:
     )
 
 
+def lindblad_state(order: int = 2, detune: float = 0.99,
+                   gamma: float = 0.005) -> Scenario:
+    """T1-limited qubit |0>->|1> state prep: the NOT-state workload on an
+    OPEN system (amplitude damping L = sqrt(gamma) sigma_minus in both the
+    model and the plant). No reference test runs mesolve dissipatively, but
+    its capability class includes collapse operators (reference
+    experiment.py:209); this preset exercises that class end-to-end: the
+    model is the exact order-k discretization of the Lindbladian drift (the
+    same `discretize_homogeneous` pipeline - A0 is just no longer
+    skew-Hermitian), the plant propagates the full master equation, and the
+    controller holds the state against decay for the whole horizon.
+
+    gamma=0.005 at dt=1 over 20 steps: uncontrolled decay from |1> would
+    lose ~9% population; the closed loop re-drives against it.
+    """
+    from .plants.lindblad import (LindbladPlant, lindblad_step,
+                                  lindblad_lift, lindblad_proj)
+    from .ops.liouville import lindblad_generator, liouville_generator
+
+    dt, H, n_steps = 1.0, 10, 20
+    sat = 2 * np.pi * 0.1
+    wq = 2 * np.pi * 4
+    qubit = systems.RWAQubit(wQ=wq, wD=wq, wR=wq)
+    sminus = np.array([[0.0, 1.0], [0.0, 0.0]], complex)
+    c_ops = [np.sqrt(gamma) * sminus]
+
+    # exact open-system model: Lindblad drift + Hamiltonian control generator
+    A_cts = [np.asarray(lindblad_generator(qubit.H_list[0], c_ops)),
+             np.asarray(liouville_generator(qubit.H_list[1]))]
+    A_dst = np.asarray(discretize_homogeneous(A_cts, dt, order))
+    model = dmdc_from_operator(jnp.asarray(A_dst), 4, 4, A_dst.shape[1] - 4)
+
+    plant_qubit = systems.RWAQubit(wQ=wq * detune, wD=wq, wR=wq)
+    plant = LindbladPlant.create(plant_qubit.H_list[0], [plant_qubit.H_list[1]],
+                                 c_ops=c_ops)
+
+    Rx = rx_rotation(1e-4)
+    rho0 = (Rx @ np.diag([1.0, 0.0]).astype(complex) @ Rx.conj().T).flatten()
+    targ = np.diag([0.0, 1.0]).astype(complex).flatten()
+    X_targ, U_targ = _const_targets(targ, 1, n_steps, H)
+    Q = jnp.asarray(np.diag([1.0, 0, 0, 1]).astype(complex))
+    R = jnp.eye(1) * (1e-2 / sat**2)
+    return Scenario(
+        name="lindblad_state", x0=rho0, model=model, plant=plant,
+        X_targ=X_targ, U_targ=U_targ, Q=Q, R=R, Qf=Q,
+        config=MPCConfig(horizon=H, n_steps=n_steps, dt=dt, dim_u=1, order=order),
+        sat=sat, du=0.5 * sat, target_state=targ,
+        plant_step_fn=lindblad_step, lift_fn=lindblad_lift,
+        proj_fn=lindblad_proj,
+    )
+
+
 PRESETS = {
     "not_state": not_state,
     "not_state_freq": not_state_freq,
@@ -325,4 +377,5 @@ PRESETS = {
     "crosstalk": crosstalk,
     "cnot_state": cnot_state,
     "not_gate": not_gate,
+    "lindblad_state": lindblad_state,
 }
