@@ -69,17 +69,47 @@ import numpy as np
 # closed-loop fidelity is the real gate, asserted in bench.py and
 # tests/test_preset_tuning.py).
 PRESET_STEADY_BUDGET = {
-    "not_state": {"budget": (2, 10)},
-    "not_gate": {"budget": (2, 10)},
-    "not_state_freq": {"budget": (2, 25), "scale": True},
-    "drag_state": {"budget": (2, 12), "scale": True},
-    "cnot_state": {"budget": (2, 50), "rho0": 1.0},
+    # ns_iters=20 (warm AND steady): the captured-QP NS ladder reaches
+    # ||I-KX|| ~ 1e-6 by 20 iterations on every preset
+    # (experiments/sweep_ns_iters.py); the library default 30 was 1.5x
+    # overbudget on the 2-matmuls-per-iteration serial inverse chain.
+    # Closed-loop quality re-validated per preset at production batches
+    # (experiments/validate_r4_tuning.py): identical everywhere except
+    # drag_state, whose scaled tight 2x12 budget dips 8e-4 at 20 - it keeps
+    # 24 (0.99970/0.99969, bit-better than 30).
+    "not_state": {"budget": (2, 10), "ns_iters": 20},
+    "not_gate": {"budget": (2, 10), "ns_iters": 20},
+    "not_state_freq": {"budget": (2, 25), "scale": True, "ns_iters": 20},
+    "drag_state": {"budget": (2, 12), "scale": True, "ns_iters": 24},
+    "cnot_state": {"budget": (2, 50), "rho0": 1.0, "ns_iters": 20},
+    "lindblad_state": {"budget": (2, 10), "ns_iters": 20},
+}
+
+# Per-warm-step SQP budgets (round-4 sweeps, experiments/sweep_warm_lqr.py +
+# sweep_warm_steps.py at production batch sizes): from the shifted step-0
+# guess, warm step 1 converges in ONE line-searched iteration on every
+# warm_start preset - (8, 1) is quality-identical to the flat (8, 8) budget
+# (flagship: bit-equal at batch 2048) at 1.4x fewer warm-chain serial ADMM
+# iterations. crosstalk (warm_start=False: EVERY step runs the warm program)
+# keeps 4 iterations on steps >= 1: (8, 4) measures fid 0.99926 vs 0.99966
+# at (8, 8) - a ~2x rollout-cost cut for -4e-4 fidelity, still far above
+# the 0.98 gate; (8, 2) dips to 0.99822. The LQR-seeded init
+# (MPCConfig.lqr_seed) was measured WORSE (worst lane 0.825 on the
+# flagship) and stays off.
+PRESET_WARM_ITERS = {
+    "not_state": (8, 1),
+    "not_gate": (8, 1),
+    "not_state_freq": (8, 1),
+    "drag_state": (8, 1),
+    "cnot_state": (8, 1),
+    "crosstalk": (8, 4),
+    "lindblad_state": (8, 1),
 }
 
 
 def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        record: bool = False, detune_scale: float = 0.01,
-                       reps: int = 1, warm_sqp_iters=8,
+                       reps: int = 1, warm_sqp_iters=None,
                        granularity: str = "mixed", steady_fuse: int = 3,
                        warm_duals: bool | None = None, steady_qp_params=None,
                        qp_kernel: str = "auto",
@@ -95,6 +125,8 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         first run pays compiles and is reported separately as first_run_s).
     :param warm_sqp_iters: SQP iteration budget of the warm steps - one int
         for all, or a per-warm-step tuple, e.g. (8, 2) (see HostLoopMPC).
+        None = the preset's swept production budget (PRESET_WARM_ITERS,
+        falling back to 8).
     :param lqr_seed: None = preset default; True/False force the LQR-seeded
         initial guess (MPCConfig.lqr_seed).
     :param warm_duals: None = the production default (dual warm-starting
@@ -114,6 +146,8 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
     from .solvers.boxqp import BoxQPParams
 
     key = jax.random.PRNGKey(1) if key is None else key
+    if warm_sqp_iters is None:
+        warm_sqp_iters = PRESET_WARM_ITERS.get(sc.name, 8)
     # fleet construction runs eager complex ops - keep it off the TPU
     with jax.default_device(jax.devices("cpu")[0]):
         plants, keys = make_scenario_batch(key, sc.plant, batch,
@@ -131,13 +165,14 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
                else lindblad_step_taylor if isinstance(sc.plant, LindbladPlant)
                else sc.plant_step_fn)
-    tuned_rho0 = None
+    tuned_rho0 = tuned_ns = None
     if warm_duals is None:
         tuned = PRESET_STEADY_BUDGET.get(sc.name)
         warm_duals = tuned is not None or steady_qp_params is not None
         if tuned is not None and steady_qp_params is None:
             r, i = tuned["budget"]
             tuned_rho0 = tuned.get("rho0")
+            tuned_ns = tuned.get("ns_iters")
             steady_qp_params = BoxQPParams(
                 max_iter=i, n_rounds=r,
                 rho0=(tuned_rho0 if tuned_rho0 is not None
@@ -145,6 +180,7 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                 eps_abs=sc.config.qp_params.eps_abs,
                 eps_rel=sc.config.qp_params.eps_rel,
                 accept_abs=4e-3, accept_rel=4e-3,
+                ns_iters=tuned.get("ns_iters", sc.config.qp_params.ns_iters),
                 # inherit the loop form: chip presets run the
                 # proven-to-lower unrolled chain, CPU callers that set
                 # unroll=False keep fast traces in the steady phase too
@@ -166,6 +202,11 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         # this rho0 (the configuration the sweeps measured)
         cfg = dataclasses.replace(
             cfg, qp_params=cfg.qp_params.replace(rho0=tuned_rho0))
+    if tuned_ns is not None:
+        # the NS-inverse budget cut applies to the warm phase too (the
+        # captured-QP ladder was measured at the cold/warm rho)
+        cfg = dataclasses.replace(
+            cfg, qp_params=cfg.qp_params.replace(ns_iters=tuned_ns))
     default_budget = (BoxQPParams().n_rounds, BoxQPParams().max_iter)
     if (cfg.horizon * cfg.dim_u <= 16
             and (sc.config.qp_params.n_rounds,

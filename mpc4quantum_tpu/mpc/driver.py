@@ -111,6 +111,23 @@ class MPCConfig:
     unroll: bool = False
 
 
+class ModelApplyFns(NamedTuple):
+    """Injectable implementations of the three stacked-operator contractions
+    the MPC step performs - the seam for tensor-parallel execution.
+
+    The default (None in make_mpc_step) is the dense in-device path
+    (ops/bilinear.model_along_traj + models/dmdc.predict). parallel/tensor.py
+    provides row-sharded versions (`tp_model_fns`) where the operator lives
+    split over a mesh axis and each application gathers once over ICI -
+    everything else in the driver (QP, plant, costs) is unchanged, so the
+    TP closed loop is the SAME driver code path.
+    """
+
+    linearize: Callable  # (model_A, X (dim_x, H), U (dim_u, H)) -> (A_s, B_s, D_s)
+    predict: Callable    # (model_A, lift_x (dim_x,), ux (dim_x * Lm,)) -> (dim_x,)
+    lift_u: Callable     # (dim_u, n) -> (Lm, n) non-constant monomial lift
+
+
 class MPCResult(NamedTuple):
     xs: jnp.ndarray        # (dim_e, n_steps+1) experiment-space trajectory
     us: jnp.ndarray        # (dim_u, n_steps) applied controls
@@ -195,6 +212,7 @@ def make_mpc_step(
     model_update_fn: Optional[Callable] = None,
     exit_condition: Optional[Callable] = None,
     observe_fn: Optional[Callable] = None,
+    model_fns: Optional[ModelApplyFns] = None,
 ):
     """Build the jittable per-step MPC transition function.
 
@@ -269,7 +287,10 @@ def make_mpc_step(
 
         def iqp_body(s):
             (Xg, Ug, X_opt, U_opt, obj, n_iter, _, code, y_qp, rho_qp) = s
-            A_s, B_s, D_s = model_along_traj(bmodel, Xg[:, :H], Ug)
+            if model_fns is not None:
+                A_s, B_s, D_s = model_fns.linearize(model_state.A, Xg[:, :H], Ug)
+            else:
+                A_s, B_s, D_s = model_along_traj(bmodel, Xg[:, :H], Ug)
             if config.solver == "lqr":
                 lres = lqr_quad_program(
                     lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, sat=sat, Delta_s=D_s
@@ -360,8 +381,11 @@ def make_mpc_step(
 
         lift_u = bmodel.lift_u(u_apply.reshape(-1, 1))
         ux = krtimes(lift_u.astype(lift_x.dtype), lift_x.reshape(-1, 1))
-        dmdc = DMDcModel(A=model_state.A, dim_y=dim_x, dim_x=dim_x, dim_u=model_state.A.shape[1] - dim_x)
-        x_model = proj_fn(plant, predict(dmdc, lift_x.reshape(-1, 1), ux)[:, 0])
+        if model_fns is not None:
+            x_model = proj_fn(plant, model_fns.predict(model_state.A, lift_x, ux[:, 0]))
+        else:
+            dmdc = DMDcModel(A=model_state.A, dim_y=dim_x, dim_x=dim_x, dim_u=model_state.A.shape[1] - dim_x)
+            x_model = proj_fn(plant, predict(dmdc, lift_x.reshape(-1, 1), ux)[:, 0])
         x_next = jnp.where(is_measure, x_measured, x_model)
 
         # --- streaming model refit ---
@@ -479,6 +503,7 @@ def mpc(
     model_update_fn: Optional[Callable] = None,
     exit_condition: Optional[Callable] = None,
     observe_fn: Optional[Callable] = None,
+    model_fns: Optional[ModelApplyFns] = None,
 ) -> MPCResult:
     """Run the full receding-horizon MPC loop (reference mpc.py:128-304).
 
@@ -514,7 +539,7 @@ def mpc(
         config, Q_s, R_s, sat, du,
         plant_step_fn=plant_step_fn, lift_fn=lift_fn, proj_fn=proj_fn,
         model_update_fn=model_update_fn, exit_condition=exit_condition,
-        observe_fn=observe_fn,
+        observe_fn=observe_fn, model_fns=model_fns,
     )
 
     X_guess0 = jnp.tile(lift_x0[:, None].astype(cdtype), (1, H + 1))

@@ -396,7 +396,8 @@ class HostLoopMPC:
                     f"qp_kernel='small' is fully unrolled and uncompilable at "
                     f"n_qp={n_qp} (> 16); use 'big'/'big_unroll'/'auto'")
             extra = {} if kind == "small" else {
-                "unroll_iters": kind == "big_unroll"}
+                "unroll_iters": kind == "big_unroll",
+                "ns_iters": int(qp.ns_iters)}
             solve = boxqp_pallas if kind == "small" else boxqp_pallas_big
             # carried duals seed single-shot (steady) solves only - warm-phase
             # SQP iterations run cold (see mpc/driver.py sqp_iter rationale)

@@ -221,7 +221,12 @@ def crosstalk(order: int = 1, coupling: float = 0.0) -> Scenario:
                          # 2x50 is the cliff (0.994). warm_start=False
                          # makes this the every-solve budget (no steady
                          # phase), so it is the preset's whole QP cost.
-                         qp_params=BoxQPParams(rho0=1.0, max_iter=75)),
+                         # ns_iters=20: the captured-QP NS ladder reaches
+                         # ||I-KX|| ~ 5e-6 by 20 iterations at rho0=1.0
+                         # (experiments/sweep_ns_iters.py) - 30 was 1.5x
+                         # overbudget on the serial inverse chain
+                         qp_params=BoxQPParams(rho0=1.0, max_iter=75,
+                                               ns_iters=20)),
         sat=sat, du=0.25, target_state=np.kron(targ1, targ2).flatten(),
     )
 

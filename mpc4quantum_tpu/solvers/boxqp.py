@@ -56,6 +56,18 @@ class BoxQPParams:
     # iterates; traces/compiles ~max_iter x faster - use on CPU/standard
     # backends, e.g. budget sweeps at cnot's 3x300)
     unroll: bool = struct.field(pytree_node=False, default=True)
+    # Newton-Schulz iteration count for the fixed-iteration solver's
+    # K-inverse (solve_boxqp_fixed and the big Pallas kernel's between-round
+    # XLA inverse). Each iteration is 2 serial batched matmuls, so this is
+    # a first-order term of the latency-bound solve chain. Measured
+    # requirement on captured preset QPs (experiments/sweep_ns_iters.py,
+    # f32): ||I - K X|| reaches ~1e-6 by 20 iterations on EVERY preset
+    # (16 is marginal: worst-case 3.7e-4 flagship / 2e-1 cnot), and the
+    # ADMM solution at 20 matches the 30-iteration solve to <= 2.7e-4
+    # (median; cnot worst 1.3e-3, inside the 4e-3 acceptance). 30 was
+    # 1.5x overbudget everywhere; kept as the conservative default -
+    # production presets run 20 via benchfleet.PRESET_STEADY_BUDGET.
+    ns_iters: int = struct.field(pytree_node=False, default=30)
     # Jacobi (diagonal) equilibration: solve the QP in x' = x / d with
     # d = diag(P)^-1/2, the cheap core of OSQP's Ruiz scaling (which the
     # reference always ran through CVXPY). The condensed P's diagonal spans
@@ -261,7 +273,7 @@ def ns_inverse(K, iters: int = 30):
 
 
 def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
-                      unroll: bool | None = None, ns_iters: int = 30,
+                      unroll: bool | None = None, ns_iters: int | None = None,
                       y0=None, rho0=None) -> BoxQPResult:
     """ADMM box-QP with a FIXED iteration schedule and a Newton-Schulz
     inverse in place of the Cholesky factorization.
@@ -280,6 +292,8 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         params = BoxQPParams()
     if unroll is None:
         unroll = params.unroll
+    if ns_iters is None:
+        ns_iters = params.ns_iters
     n = q.shape[0]
     dtype = q.dtype
     P = 0.5 * (P + P.T)
