@@ -420,18 +420,22 @@ def main():
         "not_state_freq": (1024, {}, 0.98),
         "drag_state": (256, {}, 0.98),
         "crosstalk": (256, {}, 0.98),
-        # cnot joins the 0.98 bar: the cold-form worst lane is
-        # physics-limited at 0.96990 (scan driver to-convergence == hostloop
-        # cold 3x300, experiments/probe_cnot_quality.py), but the production
-        # rho0=1.0 + warm-dual 2x50 form measures fid_min 0.98685 at batch
-        # 64 full length (benchfleet.PRESET_STEADY_BUDGET) - the dual carry
-        # + penalty retune BEAT the cold ceiling on the worst lane.
-        # (The reference never fleet-tests detuned plants; its nominal-plant
-        # 0.98 bar is tests/test_presets.py::test_cnot_state_preset.)
-        "cnot_state": (64, {}, 0.98),
+        # Round 4: the r3 0.98664 worst lane was an ORDER-1 model artifact,
+        # not physics - the order-2 model at the same tuned budgets measures
+        # fid 0.99782/0.99737 at batch 64 FULL 200 steps (order 3: 0.99797;
+        # experiments/probe_cnot_rescue.py), clearing the VERDICT >=0.99
+        # bar outright. The bench runs order 2 with an order-3 per-lane
+        # rescue as the backstop (benchfleet rescue: sub-threshold lanes
+        # re-solved under the richer model, better result kept per lane).
+        "cnot_state": (64, {"order": 2}, 0.99),
         # n_steps=90 so the exit condition can physically fire (see
         # presets.not_gate docstring); quality = every lane exits early
         "not_gate": (128, {"n_steps": 90}, None),
+        # open-system (Lindblad) T1-limited prep: the fidelity bar is the
+        # decay physics floor, not a solver property (tests/test_lindblad.py
+        # - coherent drive cannot hold P(|1>) against amplitude damping;
+        # worse-detuned lanes ride the decay envelope longer)
+        "lindblad_state": (256, {}, 0.85),
     }
     names = os.environ.get("BENCH_PRESETS", "all" if path == "hostloop" else "")
     names = list(preset_spec) if names == "all" else [n for n in names.split(",") if n]
@@ -443,8 +447,12 @@ def main():
             batch_p, kw, fid_gate = preset_spec[name]
             with jax.default_device(cpu):
                 sc = presets_mod.PRESETS[name](**kw)
+                rescue = None
+                if name == "cnot_state":
+                    rescue = {"threshold": 0.99,
+                              "scenario": presets_mod.PRESETS[name](order=3)}
             m, _ = run_hostloop_fleet(sc, batch_p, key=jax.random.PRNGKey(1),
-                                      cpu=on_cpu, reps=2)
+                                      cpu=on_cpu, reps=2, rescue=rescue)
             # quality gates: worst lane, not just the mean
             assert m["completed_frac"] == 1.0, f"{name}: {m}"
             assert m["qp_fail_frac"] == 0.0, f"{name}: {m}"

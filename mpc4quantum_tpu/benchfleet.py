@@ -116,7 +116,9 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        lqr_seed: bool | None = None,
                        checkpoint_path: str | None = None,
                        checkpoint_every: int = 0,
-                       progress_every: int = 0):
+                       progress_every: int = 0,
+                       rescue: dict | None = None,
+                       _plants=None, _keys=None):
     """Run a `batch`-lane detuning-sweep fleet of scenario `sc` end-to-end.
 
     :param sc: a presets.Scenario.
@@ -135,6 +137,18 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         round-2 cold-everywhere form).
     :param steady_qp_params: explicit steady-phase BoxQPParams override
         (implies warm_duals unless warm_duals=False was passed).
+    :param rescue: optional per-lane rescue pass (record=False only):
+        {"threshold": fid, "scenario": Scenario}. After the fleet pass,
+        lanes below the fidelity threshold (or not completed) are gathered
+        into a power-of-two sub-batch (padded by repeating the first
+        marginal lane, so the rescue program compiles for few distinct
+        shapes) and re-run under the alternative scenario's model/config on
+        the SAME per-lane plants and PRNG keys; each rescued lane keeps
+        whichever result is better. Lanes are data - this is the masked
+        re-solve VERDICT r3 item 4 asks for. Timing metrics stay those of
+        the MAIN pass; rescue cost is reported as rescue_s.
+    :param _plants/_keys: internal - externally supplied lane batch
+        (used by the rescue recursion; skips make_scenario_batch).
     :return: metrics dict (throughput + fidelity/completion quality).
     """
     import jax
@@ -150,8 +164,11 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         warm_sqp_iters = PRESET_WARM_ITERS.get(sc.name, 8)
     # fleet construction runs eager complex ops - keep it off the TPU
     with jax.default_device(jax.devices("cpu")[0]):
-        plants, keys = make_scenario_batch(key, sc.plant, batch,
-                                           detune_scale=detune_scale)
+        if _plants is not None:
+            plants, keys = _plants, _keys
+        else:
+            plants, keys = make_scenario_batch(key, sc.plant, batch,
+                                               detune_scale=detune_scale)
         plants = jax.tree.map(np.asarray, plants)
         keys = np.asarray(keys)
         model_np = jax.tree.map(np.asarray, sc.model)
@@ -250,10 +267,42 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
     # normalized overlap: unit-norm state-prep targets are unchanged, the
     # process-space synthesis target (norm ~ sqrt(d)) reports on the same
     # 0..1-ish scale instead of an unnormalized inner product
-    targ = np.asarray(sc.target_state)
-    fid = np.real(out["final_x"] @ np.conj(targ)) / max(
-        float(np.real(targ @ np.conj(targ))), 1e-12)
+    fid = _fleet_fidelity(sc, out)
     codes = out["exit_code"]
+
+    rescue_info = {}
+    if rescue is not None and not record:
+        thr = float(rescue.get("threshold", 0.99))
+        sc_alt = rescue.get("scenario", sc)
+        marginal = (fid < thr) | ~((codes == 0) | (codes == 1))
+        if marginal.any():
+            t_r = time.time()
+            idx = np.nonzero(marginal)[0]
+            pad = 1 << max(len(idx) - 1, 0).bit_length()
+            idx_p = np.concatenate([idx, np.repeat(idx[:1], pad - len(idx))])
+            plants_r = jax.tree.map(lambda a: np.asarray(a)[idx_p], plants)
+            _, out_r = run_hostloop_fleet(
+                sc_alt, pad, cpu=cpu, record=False,
+                warm_sqp_iters=(warm_sqp_iters
+                                if sc_alt.name == sc.name else None),
+                granularity=granularity, steady_fuse=steady_fuse,
+                qp_kernel=qp_kernel, _plants=plants_r, _keys=keys[idx_p])
+            fid_r = _fleet_fidelity(sc_alt, out_r)[: len(idx)]
+            codes_r = out_r["exit_code"][: len(idx)]
+            ok_r = (codes_r == 0) | (codes_r == 1)
+            better = (fid_r > fid[idx]) & ok_r
+            take = idx[better]
+            fid[take] = fid_r[better]
+            codes = np.asarray(codes).copy()
+            codes[take] = codes_r[better]
+            out["final_x"][take] = out_r["final_x"][: len(idx)][better]
+            out["exit_code"] = codes
+            rescue_info = {
+                "rescued_lanes": int(len(idx)),
+                "rescue_improved": int(better.sum()),
+                "rescue_batch": int(pad),
+                "rescue_s": round(time.time() - t_r, 1),
+            }
     metrics = {
         "preset": sc.name,
         "batch": batch,
@@ -280,4 +329,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                           if (warm_duals and steady_qp_params is not None)
                           else f"{cfg.qp_params.n_rounds}x{cfg.qp_params.max_iter}"),
     }
+    metrics.update(rescue_info)
     return metrics, out
+
+
+def _fleet_fidelity(sc, out):
+    """Per-lane normalized target overlap of a fleet output."""
+    targ = np.asarray(sc.target_state)
+    return np.real(out["final_x"] @ np.conj(targ)) / max(
+        float(np.real(targ @ np.conj(targ))), 1e-12)

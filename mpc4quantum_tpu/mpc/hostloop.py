@@ -380,17 +380,19 @@ class HostLoopMPC:
             n_qp = P.shape[-1]
             kind = self.qp_kernel
             if kind == "auto":
-                # big_unroll (XLA NS inverse + flat in-kernel FMA chain) is
-                # the measured-fastest form wherever its program stays small:
-                # on the axon chip it beats the in-kernel-Gauss-Jordan small
-                # kernel 2.2-2.7x at flagship size (/tmp/r3_kernels.log,
-                # 158 vs 433 ms steady at B=8192) because the n^3 inverse
-                # runs as batched MXU matmuls instead of serial VPU rows.
-                # Beyond ~4k unrolled iteration-FMAs fall back to the looped
-                # form (fori_loop over iters) so deep budgets (cnot 2x50 at
-                # n=150) cost loop trips, not program size.
-                kind = ("big_unroll" if n_qp * qp_iters * qp_rounds <= 4096
-                        else "big")
+                # small (fully-unrolled in-kernel Gauss-Jordan) wherever it
+                # compiles (n <= 16): the round-4 within-process ROLLOUT A/B
+                # on the chip (experiments/logs/r4_kernels.log) measured
+                # small 11,526 r/s vs big_unroll 6,238 / big 6,348 at
+                # flagship B=8192 - the ONE-kernel-launch-per-solve form
+                # wins ~2x over the XLA-NS-inverse forms, settling the
+                # round-3 session conflict (the lost session-1 kernel-level
+                # 2.2-2.7x for big_unroll did not hold at the rollout level
+                # in either committed session; advisor finding confirmed).
+                # Beyond n = 16 the unrolled program explodes - use the
+                # looped large-n kernel (fori_loop over iters; deep budgets
+                # cost loop trips, not program size).
+                kind = "small" if n_qp <= 16 else "big"
             if kind == "small" and n_qp > 16:
                 raise ValueError(
                     f"qp_kernel='small' is fully unrolled and uncompilable at "
