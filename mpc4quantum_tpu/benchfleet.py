@@ -258,11 +258,13 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                      record=record, progress_every=progress_every, **ck)
     first_s = time.time() - t0
     elapsed = first_s
+    rep_times = []
     for _ in range(max(reps - 1, 0)):
         t0 = time.time()
         out = runner.run(sc.x0, model_np, plants, Xt, Ut, Qn, Rn, Qfn, keys,
                          record=record, progress_every=progress_every)
-        elapsed = min(elapsed, time.time() - t0)
+        rep_times.append(time.time() - t0)
+        elapsed = min(elapsed, rep_times[-1])
 
     # normalized overlap: unit-norm state-prep targets are unchanged, the
     # process-space synthesis target (norm ~ sqrt(d)) reports on the same
@@ -307,6 +309,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         "preset": sc.name,
         "batch": batch,
         "rollouts_per_s": round(batch / elapsed, 2),
+        # median-of-reps rate (warmed runs only): the statistically honest
+        # number under chip/tunnel timing noise; rollouts_per_s stays
+        # best-of for continuity with earlier artifacts
+        "rollouts_per_s_median": (round(batch / float(np.median(rep_times)), 2)
+                                  if rep_times else round(batch / elapsed, 2)),
+        "timed_reps": len(rep_times),
         "first_run_s": round(first_s, 1),
         "fidelity_mean": round(float(fid.mean()), 5),
         "fidelity_min": round(float(fid.min()), 5),
