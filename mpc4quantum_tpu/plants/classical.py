@@ -32,29 +32,48 @@ def _identity(x):
     return x
 
 
-def rk4_simulate(plant: ClassicalPlant, x0, us, dt):
-    """Fixed-step RK4 over a ZOH control trajectory.
+def rk4_simulate(plant: ClassicalPlant, x0, us, dt, interp: str = "zoh"):
+    """Fixed-step RK4 over a control trajectory.
 
     :param x0: (dim_x,); :param us: (dim_u, n).
+    :param interp: control interpolation between samples - "zoh" (piecewise
+        constant, the engine-wide convention) or "linear" (the reference
+        CExperiment's default: controls passed as arrays are linearly
+        interpolated through scipy interp1d, reference experiment.py:87;
+        each RK4 stage evaluates u(t) on the segment u_k -> u_{k+1}, the
+        last segment holding u_{n-1}).
     :return: (dim_x, n+1) trajectory including x0.
     """
+    if interp not in ("zoh", "linear"):
+        raise ValueError(f"interp={interp!r}: 'zoh' or 'linear'")
     h = dt / plant.substeps
+    n = us.shape[1]
+    # segment endpoints: linear interpolates u_k -> u_{k+1} across step k
+    # (clamped at the end, matching interp1d's behavior inside the range);
+    # zoh holds u_k
+    us_next = (jnp.concatenate([us[:, 1:], us[:, -1:]], axis=1)
+               if interp == "linear" else us)
 
-    def substep(x, tu):
-        t, u = tu
-        k1 = plant.f(t, x, u)
-        k2 = plant.f(t + h / 2, x + h / 2 * k1, u)
-        k3 = plant.f(t + h / 2, x + h / 2 * k2, u)
-        k4 = plant.f(t + h, x + h * k3, u)
-        return x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+    def step(carry, uu):
+        x, t0 = carry
+        u0, u1 = uu
+        # per-stage control: exact on the linear segment (collapses to the
+        # constant u0 for zoh since u1 == u0 there)
+        u_at = lambda tt: u0 + (u1 - u0) * ((tt - t0) / dt).astype(x.dtype)
 
-    def step(carry, u):
-        x, t = carry
+        def substep(x, t):
+            k1 = plant.f(t, x, u_at(t))
+            k2 = plant.f(t + h / 2, x + h / 2 * k1, u_at(t + h / 2))
+            k3 = plant.f(t + h / 2, x + h / 2 * k2, u_at(t + h / 2))
+            k4 = plant.f(t + h, x + h * k3, u_at(t + h))
+            return x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
         for i in range(plant.substeps):
-            x = substep(x, (t + i * h, u))
-        return (x, t + dt), x
+            x = substep(x, t0 + i * h)
+        return (x, t0 + dt), x
 
-    (_, _), xs = jax.lax.scan(step, (x0, jnp.zeros((), x0.dtype)), us.T)
+    (_, _), xs = jax.lax.scan(step, (x0, jnp.zeros((), x0.dtype)),
+                              (us.T, us_next.T))
     return jnp.concatenate([x0[None], xs], axis=0).T
 
 

@@ -70,3 +70,35 @@ def test_koopman_mpc_stabilizes_vanderpol():
     # controller is doing real work
     xs_free = np.asarray(rk4_simulate(plant, jnp.asarray(x0c), jnp.zeros((1, n_steps)), DT))
     assert np.linalg.norm(xs_free[:, -1]) > 1.0
+
+
+def test_rk4_linear_interp_matches_scipy():
+    """Linearly-interpolated controls (the reference CExperiment default,
+    reference experiment.py:87) == scipy solve_ivp with the same ramped
+    control, to integrator tolerance; zoh stays the engine convention."""
+    import scipy.integrate
+    from mpc4quantum_tpu.plants.classical import VanDerPol, rk4_simulate
+
+    p = VanDerPol(mu=1.0, substeps=16)
+    rng = np.random.default_rng(0)
+    us = rng.normal(size=(1, 12)) * 0.5
+    x0 = jnp.asarray([0.5, -0.2])
+    dt = 0.2
+    for interp, tol in (("zoh", 1e-6), ("linear", 1e-6)):
+        xs = np.asarray(rk4_simulate(p, x0, jnp.asarray(us), dt, interp=interp))
+        ts = np.arange(13) * dt
+
+        def u_of_t(t):
+            k = min(int(t / dt), 11)
+            if interp == "zoh":
+                return us[0, k]
+            k1 = min(k + 1, 11)
+            return us[0, k] + (us[0, k1] - us[0, k]) * (t - k * dt) / dt
+
+        def rhs(t, x):
+            return [x[1], -x[0] + (1 - x[0] ** 2) * x[1] + u_of_t(t)]
+
+        sol = scipy.integrate.solve_ivp(rhs, (0, 12 * dt), np.asarray(x0),
+                                        t_eval=ts, rtol=1e-10, atol=1e-12,
+                                        max_step=dt / 4)
+        assert np.max(np.abs(xs - sol.y)) < tol, interp
