@@ -572,7 +572,7 @@ class HostLoopMPC:
     def run(self, x0, model_state, plants, X_targ, U_targ, Q, R, Qf, keys,
             record: bool = True, checkpoint_path: str | None = None,
             checkpoint_every: int = 0, resume: bool = True,
-            progress_every: int = 0):
+            progress_every: int = 0, verbose: bool = False):
         """Run the batched receding-horizon loop.
 
         :param x0: (dim_e,) shared or (B, dim_e) per-lane initial states.
@@ -594,6 +594,11 @@ class HostLoopMPC:
             tqdm analogue (reference mpc.py:161) for long fleets whose
             checkpoints are minutes apart. Each heartbeat syncs one small
             device fetch; 0 (default) = silent.
+        :param verbose: per-SOLVE diagnostics to stderr - the analogue of
+            the reference's `verbose` passthrough to the OSQP solver
+            (reference mpc.py:128 -> optimize.py:59): after every step the
+            fleet's QP objective (mean/max) and the running failure count
+            are printed. Syncs the device each step - debugging only.
         :return: dict with final_x (B, dim_e) complex, exit_code (B,),
             and - when record=True - the reference's full [xs, us] contract
             (reference mpc.py:294-304): xs (B, dim_e, n_steps+1) per-step
@@ -709,6 +714,15 @@ class HostLoopMPC:
                 }
         last_saved = step
         hb_t0, hb_step0, last_hb = time.time(), step, step
+
+        def vprint(after_step, outs_v, carry_v):
+            objs = np.asarray(outs_v[2])
+            iters = fetch_i(outs_v[3])
+            fails = int((fetch_i(carry_v[6]) >= 2).sum())
+            print(f"[solve] step {after_step:>3d}: obj mean={objs.mean():.4e} "
+                  f"max={objs.max():.4e} sqp_iters={int(iters.max())} "
+                  f"qp_fails={fails}/{B}", file=sys.stderr, flush=True)
+
         while step < cfg.n_steps:
             if progress_every and step - last_hb >= progress_every:
                 # done flags are bool on device; fetch through f32 (chip-safe)
@@ -734,6 +748,8 @@ class HostLoopMPC:
                     carry, duals, step_arr, args[0], model_s, *args[2:])
                 duals = outs[5]
                 step += k
+                if verbose:
+                    vprint(step - 1, outs, carry)
                 if (checkpoint_path and checkpoint_every
                         and step - last_saved >= checkpoint_every
                         and step < cfg.n_steps):
@@ -755,6 +771,8 @@ class HostLoopMPC:
                 carry, model_s, outs = progs["advance"](carry, s, step_arr, args[0],
                                                         model_s, *args[2:])
             duals = outs[5]
+            if verbose:
+                vprint(step, outs, carry)
             if record:
                 per_step.append(outs)
             step += 1
