@@ -110,6 +110,22 @@ PRESET_WARM_ITERS = {
     "lindblad_state": (8, 1),
 }
 
+# WARM-phase ADMM budgets for the mid/large presets (round-4 sweep,
+# experiments/sweep_warm_budget_r4.py at production batches): round 3 tuned
+# the steady budgets hard but left the warm phase at the preset defaults
+# (freq/drag 2x150, cnot 3x300) - with the (8,1) warm-step budgets the warm
+# phase is 9 QP solves, ~50% of freq's and ~86% of drag's total serial ADMM
+# cost at those defaults. Swept floors at equal fidelity_min: freq 2x50
+# (identical through the ladder), drag 2x50 (2x30 dips 8e-4), cnot 3x100
+# (identical at the regression-ladder length). Entries are
+# ((expected preset default), (tuned)) - applied only when the caller left
+# the preset's own budget untouched, so explicit choices survive.
+PRESET_WARM_BUDGET = {
+    "not_state_freq": ((2, 150), (2, 50)),
+    "drag_state": ((2, 150), (2, 50)),
+    "cnot_state": ((3, 300), (3, 100)),
+}
+
 
 def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        record: bool = False, detune_scale: float = 0.01,
