@@ -244,6 +244,14 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         # captured-QP ladder was measured at the cold/warm rho)
         cfg = dataclasses.replace(
             cfg, qp_params=cfg.qp_params.replace(ns_iters=tuned_ns))
+    wb = PRESET_WARM_BUDGET.get(sc.name)
+    if wb is not None:
+        default_b, tuned_b = wb
+        if (cfg.qp_params.n_rounds, cfg.qp_params.max_iter) == default_b:
+            # warm-phase budget cut (see PRESET_WARM_BUDGET docstring):
+            # applied only when the caller kept the preset's own budget
+            cfg = dataclasses.replace(cfg, qp_params=cfg.qp_params.replace(
+                n_rounds=tuned_b[0], max_iter=tuned_b[1]))
     default_budget = (BoxQPParams().n_rounds, BoxQPParams().max_iter)
     if (cfg.horizon * cfg.dim_u <= 16
             and (sc.config.qp_params.n_rounds,
@@ -356,6 +364,7 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         "steady_budget": (f"{steady_qp_params.n_rounds}x{steady_qp_params.max_iter}"
                           if (warm_duals and steady_qp_params is not None)
                           else f"{cfg.qp_params.n_rounds}x{cfg.qp_params.max_iter}"),
+        "warm_budget": f"{cfg.qp_params.n_rounds}x{cfg.qp_params.max_iter}",
     }
     metrics.update(rescue_info)
     return metrics, out

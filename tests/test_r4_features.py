@@ -116,3 +116,31 @@ def test_ns_iters_param_changes_inverse_budget():
                            params=BoxQPParams(unroll=False, ns_iters=2))
     np.testing.assert_allclose(np.asarray(r20.x), np.asarray(r30.x), atol=1e-6)
     assert np.max(np.abs(np.asarray(r2.x) - np.asarray(r30.x))) > 1e-4
+
+
+def test_preset_warm_budget_override_survives():
+    """PRESET_WARM_BUDGET applies only when the caller left the preset's
+    own warm budget untouched - an explicit qp_params choice survives."""
+    from mpc4quantum_tpu.benchfleet import PRESET_WARM_BUDGET
+
+    sc = presets.PRESETS["drag_state"]()
+    default_budget, tuned = PRESET_WARM_BUDGET["drag_state"]
+    assert (sc.config.qp_params.n_rounds,
+            sc.config.qp_params.max_iter) == default_budget
+    # tuned path: run a tiny fleet and confirm the warm cfg picked the cut
+    cfg = dataclasses.replace(
+        sc.config, n_steps=3,
+        qp_params=sc.config.qp_params.replace(unroll=False))
+    sc2 = dataclasses.replace(sc, config=cfg)
+    m, _ = run_hostloop_fleet(sc2, 2, cpu=True, granularity="sqp",
+                              steady_fuse=1)
+    assert m["warm_budget"] == f"{tuned[0]}x{tuned[1]}"
+    # explicit caller budget survives
+    cfg3 = dataclasses.replace(
+        sc.config, n_steps=3,
+        qp_params=sc.config.qp_params.replace(unroll=False, max_iter=60,
+                                              n_rounds=2))
+    sc3 = dataclasses.replace(sc, config=cfg3)
+    m3, _ = run_hostloop_fleet(sc3, 2, cpu=True, granularity="sqp",
+                               steady_fuse=1)
+    assert m3["warm_budget"] == "2x60"
