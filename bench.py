@@ -225,11 +225,11 @@ def device_calibration(reps: int = 3):
 
 
 def main():
-    # default batch from the round-2 scaling sweep (experiments/
-    # probe_tpu_scale.py): throughput climbs to ~11k rollouts/s at 32768 but
-    # with run-to-run variance; 8192 is the stable knee (~9k r/s). CPU runs
-    # default smaller.
-    default_b = "1024" if os.environ.get("BENCH_DEVICE") == "cpu" else "8192"
+    # default batch from the round-4 scaling sweep (experiments/logs/
+    # r4_scale.log, qp_kernel=small): 12.7k r/s at 8192 lanes -> 14.3k at
+    # 16384 -> rolls off at 32768 (13.7k); 16384 is the knee and the batch
+    # of the recorded r4 artifacts. CPU runs default smaller.
+    default_b = "1024" if os.environ.get("BENCH_DEVICE") == "cpu" else "16384"
     batch = int(os.environ.get("BENCH_BATCH", default_b))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
