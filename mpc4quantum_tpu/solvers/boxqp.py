@@ -68,6 +68,14 @@ class BoxQPParams:
     # 1.5x overbudget everywhere; kept as the conservative default -
     # production presets run 20 via benchfleet.PRESET_STEADY_BUDGET.
     ns_iters: int = struct.field(pytree_node=False, default=30)
+    # Newton-Schulz REFRESH budget when a carried inverse warm-starts the
+    # K-inverse (solve_boxqp_fixed kinv0 / the big Pallas kernel's kinv
+    # carry, enabled by MPCConfig.qp_warm_kinv). A warm start that passes
+    # the ns_inverse contraction guard sits at residual r0 < 0.5 and
+    # converges quadratically: 8 iterations reach < 1e-6 from the guard
+    # boundary with margin. Cold solves (no carried inverse) always run the
+    # full ns_iters.
+    ns_refresh: int = struct.field(pytree_node=False, default=8)
     # Jacobi (diagonal) equilibration: solve the QP in x' = x / d with
     # d = diag(P)^-1/2, the cheap core of OSQP's Ruiz scaling (which the
     # reference always ran through CVXPY). The condensed P's diagonal spans
@@ -87,6 +95,11 @@ class BoxQPResult(NamedTuple):
     dual_res: jnp.ndarray
     converged: jnp.ndarray  # bool
     rho: jnp.ndarray = None  # final ADMM penalty (for dual warm-starting)
+    # final-round K-inverse (solve_boxqp_fixed only; in the solve's own
+    # Jacobi-scaled coordinates when params.scale) - the warm start for the
+    # next solve's Newton-Schulz refresh (kinv0). None on paths that do not
+    # compute it (solve_boxqp's Cholesky path).
+    kinv: jnp.ndarray = None
 
 
 def jacobi_scale_boxqp(P, q, lb, ub, x0=None, y0=None):
@@ -251,7 +264,7 @@ def solve_boxqp(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
 # ---------------------------------------------------------------------------
 
 
-def ns_inverse(K, iters: int = 30):
+def ns_inverse(K, iters: int = 30, X0=None, guard: float = 0.5):
     """Inverse of an SPD matrix by Newton-Schulz iteration - matmuls only.
 
     X_{j+1} = X_j (2I - K X_j), X_0 = K / (||K||_1 ||K||_inf). The init
@@ -260,6 +273,18 @@ def ns_inverse(K, iters: int = 30):
     leading dims as pure MXU matmul chains - no triangular solves, which is
     both the fast TPU form for huge tiny-matrix batches and the only form
     some TPU backend paths can lower when batched.
+
+    :param X0: optional warm start - the inverse of a NEARBY matrix (e.g.
+        the previous MPC solve's K, which differs only by the linearization
+        drift). Each batch element keeps X0 only when it certifies
+        contraction (||I - K X0||_inf < guard, one extra batched matmul);
+        otherwise it falls back to the cold init. A warm start that passes
+        the guard converges quadratically from r0 < guard, so ~5-8
+        iterations reach 1e-6 where the cold init needs ~20 - the point of
+        carrying inverses across an MPC solve chain. NOTE: a guard FALLBACK
+        at a refresh-sized `iters` produces a non-converged inverse; callers
+        must treat the downstream solve's acceptance flag as the safety net
+        (mpc/hostloop.py does - failed lanes freeze and are reported).
     """
     K = jnp.asarray(K)
     d = K.shape[-1]
@@ -267,6 +292,11 @@ def ns_inverse(K, iters: int = 30):
     n1 = jnp.max(jnp.sum(jnp.abs(K), axis=-2), axis=-1)
     ninf = jnp.max(jnp.sum(jnp.abs(K), axis=-1), axis=-1)
     X = jnp.swapaxes(K, -1, -2) / (n1 * ninf)[..., None, None]
+    if X0 is not None:
+        X0 = jnp.asarray(X0, K.dtype)
+        # induced inf-norm of the residual: max row abs-sum of I - K X0
+        r0 = jnp.max(jnp.sum(jnp.abs(eye - K @ X0), axis=-1), axis=-1)
+        X = jnp.where((r0 < guard)[..., None, None], X0, X)
     for _ in range(iters):
         X = X @ (2.0 * eye - K @ X)
     return X
@@ -274,7 +304,7 @@ def ns_inverse(K, iters: int = 30):
 
 def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
                       unroll: bool | None = None, ns_iters: int | None = None,
-                      y0=None, rho0=None) -> BoxQPResult:
+                      y0=None, rho0=None, kinv0=None) -> BoxQPResult:
     """ADMM box-QP with a FIXED iteration schedule and a Newton-Schulz
     inverse in place of the Cholesky factorization.
 
@@ -287,6 +317,19 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     flow and no factorization lowerings.
 
     Use `params.max_iter` to budget iterations (fixed cost per solve).
+
+    :param kinv0: optional (n, n) K-inverse carried from the PREVIOUS solve
+        of an MPC step chain (in THIS solve's scaled coordinates semantics:
+        pass the previous result's `.kinv` unchanged - consecutive solves'
+        Jacobi scalings drift together and the contraction guard absorbs the
+        mismatch). When given, every round's Newton-Schulz runs only
+        `params.ns_refresh` iterations from a warm start: round 1 from
+        kinv0, later rounds from the previous round's inverse rescaled by
+        the provably-contracting rho-shift factor (sigma+rho_old)/
+        (sigma+rho_new) when rho adapted (K differs by a pure multiple of I
+        within a solve, so eigenvalues of K_new X0 then lie in (0, 1]).
+        None = cold full-ns_iters inverses (the historical program,
+        bit-identical).
     """
     if params is None:
         params = BoxQPParams()
@@ -317,9 +360,26 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         eps_dual = params.eps_abs + params.eps_rel * dmax
         return prim, dual, eps_prim, eps_dual, xmax, dmax
 
+    kinv_prev = None if kinv0 is None else jnp.asarray(kinv0, dtype)
+    rho_prev = None
     for _round in range(params.n_rounds):
         K = P + (sigma + rho) * eye
-        Kinv = ns_inverse(K, iters=ns_iters)
+        if kinv_prev is None:
+            Kinv = ns_inverse(K, iters=ns_iters)
+        elif rho_prev is None:
+            # cross-solve warm start: K drifted by the linearization delta -
+            # contraction-guarded, cold fallback (flagged via acceptance)
+            Kinv = ns_inverse(K, iters=params.ns_refresh, X0=kinv_prev)
+        else:
+            # intra-solve rounds: same P, K differs by (rho - rho_prev) I.
+            # Rescaling by (sigma+rho_prev)/(sigma+rho) puts the eigenvalues
+            # of K X0 in (0, 1] (provably contracting - no guard needed);
+            # rho frozen on acceptance makes this a no-op on healthy lanes.
+            c = jnp.minimum(1.0, (sigma + rho_prev) / (sigma + rho))
+            Kinv = ns_inverse(K, iters=params.ns_refresh,
+                              X0=c * kinv_prev, guard=jnp.inf)
+        if kinv0 is not None:
+            kinv_prev, rho_prev = Kinv, rho
 
         def body(carry, _):
             x, z, y = carry
@@ -364,5 +424,7 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
     if d_eq is not None:
         z, y = d_eq * z, y / d_eq
     iters = jnp.asarray(params.n_rounds * params.max_iter)
+    # Kinv returned in the solve's own scaled coordinates - the next solve's
+    # kinv0 (its scaling drifts with diag(P); the guard absorbs the delta)
     return BoxQPResult(x=z, y=y, iters=iters, prim_res=prim, dual_res=dual,
-                       converged=converged, rho=rho)
+                       converged=converged, rho=rho, kinv=Kinv)
