@@ -134,6 +134,7 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        warm_duals: bool | None = None, steady_qp_params=None,
                        qp_kernel: str = "auto",
                        lqr_seed: bool | None = None,
+                       warm_kinv: bool | None = None,
                        checkpoint_path: str | None = None,
                        checkpoint_every: int = 0,
                        progress_every: int = 0,
@@ -151,6 +152,10 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         falling back to 8).
     :param lqr_seed: None = preset default; True/False force the LQR-seeded
         initial guess (MPCConfig.lqr_seed).
+    :param warm_kinv: None = the preset's swept production default
+        (PRESET_STEADY_BUDGET "warm_kinv"); True/False force the steady
+        K-inverse carry (MPCConfig.qp_warm_kinv - big-kernel presets only,
+        inert on small-kernel/n<=16 scenarios).
     :param warm_duals: None = the production default (dual warm-starting
         with the preset's swept steady budget where PRESET_STEADY_BUDGET
         has an entry, cold otherwise); True/False force it (False = the
@@ -229,8 +234,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                 # not_state_freq: 1/8 lanes QP-fail with a scaled warm
                 # phase at the full cold budget vs 0 with it unscaled)
                 scale=tuned.get("scale", False) or sc.config.qp_params.scale)
+    tuned_entry = PRESET_STEADY_BUDGET.get(sc.name) or {}
+    if warm_kinv is None:
+        warm_kinv = bool(tuned_entry.get("warm_kinv", False))
     cfg = dataclasses.replace(sc.config, qp_backend="ns",
-                              qp_warm_duals=warm_duals)
+                              qp_warm_duals=warm_duals,
+                              qp_warm_kinv=warm_kinv)
     if lqr_seed is not None:
         cfg = dataclasses.replace(cfg, lqr_seed=lqr_seed)
     if tuned_rho0 is not None:
@@ -356,6 +365,7 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                            if isinstance(warm_sqp_iters, (tuple, list))
                            else warm_sqp_iters),
         "lqr_seed": bool(cfg.lqr_seed),
+        "warm_kinv": bool(cfg.qp_warm_kinv),
         # equilibration state of the hot (steady) phase - the warm phase
         # always runs in the preset's own space (see PRESET_STEADY_BUDGET)
         "qp_scale": bool(steady_qp_params.scale if (warm_duals and

@@ -93,6 +93,18 @@ class MPCConfig:
     # requires, the dominant serial cost on latency-bound TPU dispatch.
     # Off by default: bit-identical to the cold-start reference semantics.
     qp_warm_duals: bool = False
+    # carry the ADMM K-inverse across the steady-state solve chain and
+    # refresh it with a few warm-started Newton-Schulz iterations instead of
+    # recomputing it cold each solve (solvers/boxqp.ns_inverse X0 /
+    # qp_params.ns_refresh). Consecutive steady solves differ only by the
+    # linearization drift, so the carried inverse sits inside the NS
+    # contraction region; the cold NS chain is the dominant serial cost of
+    # the large-n kernel solves (experiments/logs/r4_ns_share.log). Honored
+    # by the host-loop driver's Pallas QP path with the large-n kernel
+    # (mpc/hostloop.py) - inert elsewhere (the small kernel inverts
+    # in-kernel; the scan driver keeps the minimal TPU-validated carry).
+    # Off by default: cold solves are bit-identical to the historical form.
+    qp_warm_kinv: bool = False
     # seed the initial guess trajectory with the clipped affine-tracking LQR
     # solution of the step-0 linearization instead of the reference's
     # SDRE-style repeat(lift(x0)) (reference mpc.py:139-142). The LQR rollout

@@ -163,6 +163,17 @@ class HostLoopMPC:
         self.qp_impl = qp_impl
         self.plant_impl = plant_impl
         self.steady_fuse = int(steady_fuse)
+        # K-inverse carry across the steady solve chain (MPCConfig
+        # .qp_warm_kinv): only meaningful on the Pallas QP path with the
+        # large-n kernel, whose between-round Newton-Schulz inverse is the
+        # dominant serial cost (experiments/logs/r4_ns_share.log); the small
+        # kernel inverts in-kernel and the XLA path keeps the proven cold
+        # form. Resolution mirrors pallas_sqp_iter's auto rule.
+        n_qp = config.horizon * config.dim_u
+        kind0 = qp_kernel if qp_kernel != "auto" else (
+            "small" if n_qp <= 16 else "big")
+        self._kinv_carry = bool(config.qp_warm_kinv and qp_impl == "pallas"
+                                and config.solver == "qp" and kind0 != "small")
         self.pallas_interpret = pallas_interpret
         self.pallas_max_squarings = pallas_max_squarings
         self._lift_fn = lift_fn
@@ -336,7 +347,8 @@ class HostLoopMPC:
         warm_duals = self.config.qp_warm_duals
 
         def pallas_sqp_iter(step_fn, Q_s, R_s, single_shot, qp,
-                            carry, s, step, plants, model, Xtc, Utc):
+                            carry, s, step, plants, model, Xtc, Utc,
+                            kinv0=None, want_kinv=False):
             """One fleet SQP iteration via the QP kernel (merged domain).
 
             Kernel selection by QP size n = H*dim_u: the fully-unrolled
@@ -400,6 +412,15 @@ class HostLoopMPC:
             extra = {} if kind == "small" else {
                 "unroll_iters": kind == "big_unroll",
                 "ns_iters": int(qp.ns_iters)}
+            # K-inverse carry (MPCConfig.qp_warm_kinv, steady programs only -
+            # the carry-enabled program variants pass kinv0/want_kinv): warm-
+            # started NS refresh in place of the cold inverse chain. Left off
+            # the call entirely otherwise so the historical programs (and
+            # their remote-compile cache entries) are byte-identical.
+            if kind != "small" and (kinv0 is not None or want_kinv):
+                extra["ns_refresh"] = int(qp.ns_refresh)
+                if kinv0 is not None:
+                    extra["kinv0"] = kinv0
             solve = boxqp_pallas if kind == "small" else boxqp_pallas_big
             # carried duals seed single-shot (steady) solves only - warm-phase
             # SQP iterations run cold (see mpc/driver.py sqp_iter rationale)
@@ -429,7 +450,18 @@ class HostLoopMPC:
                 done_prev = si[6]
                 return tuple(jnp.where(done_prev, a, b) for a, b in zip(si, s_new))
 
-            return jax.vmap(post)(s, Uvec, conv, aux.y, aux.rho, w, M, X_ref, U_ref)
+            s_new = jax.vmap(post)(s, Uvec, conv, aux.y, aux.rho, w, M, X_ref, U_ref)
+            if not want_kinv:
+                return s_new
+            # carry freeze mirrors the dual carriers (sqp_update_from_qp):
+            # an accepted solve hands its refreshed inverse forward, a failed
+            # one keeps the previous carry (a failed lane's refresh may be a
+            # guard fallback at the short budget). A cold solve's inverse is
+            # full-budget NS - always usable.
+            kinv_new = aux.kinv
+            if kinv0 is not None:
+                kinv_new = jnp.where(conv[:, None, None], kinv_new, kinv0)
+            return s_new, kinv_new
 
         def make_iter_pallas(mk, single_shot: bool, qp):
             def prog(carry_s, s_s, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
@@ -449,14 +481,45 @@ class HostLoopMPC:
 
             return jax.jit(prog)
 
-        def make_step_pallas(mk, single_shot: bool, qp, n_iters: int, k: int = 1):
+        def make_step_pallas(mk, single_shot: bool, qp, n_iters: int, k: int = 1,
+                             kinv_mode: str = "none"):
             """Fused k-step program on the Pallas QP path: k repetitions of
             (sqp_init + n_iters kernel-solved SQP iterations + advance) in
             ONE dispatch (the steady state collapses to n_iters=1, so each
             steady step chunk is a single program launch). The QP dual
             warm-start (y, rho) flows between fused steps in-graph and
-            in/out of the program at its boundary."""
-            def prog(carry_s, duals, step, plants_s, model_s, Xt_s, Ut, Q_s_, R_, Qf_s_):
+            in/out of the program at its boundary.
+
+            kinv_mode ("none"/"cold"/"warm") selects the K-inverse carry
+            form (MPCConfig.qp_warm_kinv, steady programs only): "cold" =
+            the chain's ENTRY program (first solve computes the full cold
+            inverse, later fused solves refresh from it in-graph; returns
+            the carry), "warm" = the cruise program (takes the carry as an
+            extra operand, every solve refreshes). "none" = the historical
+            carry-free program, byte-identical dispatch."""
+            def body(carry, duals, kinv, step, plants, model, Xtc, Utc, Q_s, R_s):
+                step_fn = mk(Q_s, R_s)
+                outs = None
+                for j in range(k):
+                    stp = step + j
+                    s = jax.vmap(step_fn.sqp_init)(carry, duals)
+                    for _ in range(n_iters):
+                        if kinv_mode == "none":
+                            s = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot,
+                                                qp, carry, s, stp, plants,
+                                                model, Xtc, Utc)
+                        else:
+                            s, kinv = pallas_sqp_iter(step_fn, Q_s, R_s,
+                                                      single_shot, qp, carry,
+                                                      s, stp, plants, model,
+                                                      Xtc, Utc, kinv0=kinv,
+                                                      want_kinv=True)
+                    carry, model, outs = do_advance(carry, s, stp, plants,
+                                                    model, Xtc, Utc, Q_s, R_s)
+                    duals = outs[5]
+                return carry, model, outs, kinv
+
+            def prep(carry_s, plants_s, model_s, Xt_s, Q_s_, R_, Qf_s_):
                 carry = merge_cx(carry_s)
                 plants = merge_cx(plants_s)
                 model = merge_cx(model_s)
@@ -464,20 +527,28 @@ class HostLoopMPC:
                 Q = merge_cx(Q_s_)
                 Qf = merge_cx(Qf_s_)
                 Q_s, R_s = costs(Q, R_, Qf)
-                step_fn = mk(Q_s, R_s)
-                Xtc = jnp.asarray(Xt, Q.dtype)
-                Utc = jnp.asarray(Ut)
-                outs = None
-                for j in range(k):
-                    stp = step + j
-                    s = jax.vmap(step_fn.sqp_init)(carry, duals)
-                    for _ in range(n_iters):
-                        s = pallas_sqp_iter(step_fn, Q_s, R_s, single_shot, qp,
-                                            carry, s, stp, plants, model, Xtc, Utc)
-                    carry, model, outs = do_advance(carry, s, stp, plants, model,
-                                                    Xtc, Utc, Q_s, R_s)
-                    duals = outs[5]
-                return resplit((carry, model, outs))
+                return carry, plants, model, jnp.asarray(Xt, Q.dtype), Q_s, R_s
+
+            if kinv_mode == "warm":
+                def prog(carry_s, duals, kinv, step, plants_s, model_s, Xt_s,
+                         Ut, Q_s_, R_, Qf_s_):
+                    carry, plants, model, Xtc, Q_s, R_s = prep(
+                        carry_s, plants_s, model_s, Xt_s, Q_s_, R_, Qf_s_)
+                    carry, model, outs, kinv = body(
+                        carry, duals, kinv, step, plants, model, Xtc,
+                        jnp.asarray(Ut), Q_s, R_s)
+                    return resplit((carry, model, outs, kinv))
+            else:
+                def prog(carry_s, duals, step, plants_s, model_s, Xt_s,
+                         Ut, Q_s_, R_, Qf_s_):
+                    carry, plants, model, Xtc, Q_s, R_s = prep(
+                        carry_s, plants_s, model_s, Xt_s, Q_s_, R_, Qf_s_)
+                    carry, model, outs, kinv = body(
+                        carry, duals, None, step, plants, model, Xtc,
+                        jnp.asarray(Ut), Q_s, R_s)
+                    if kinv_mode == "cold":
+                        return resplit((carry, model, outs, kinv))
+                    return resplit((carry, model, outs))
 
             return jax.jit(prog)
 
@@ -504,6 +575,21 @@ class HostLoopMPC:
                     progs["step_steady_k"] = make_step_pallas(
                         self._mk_steady, single_shot=True, qp=qp_steady,
                         n_iters=1, k=self.steady_fuse)
+                if self._kinv_carry:
+                    # K-inverse-carry variants of the steady programs: the
+                    # chain entry (cold first inverse, returns the carry) and
+                    # the cruise form (carry in/out). jit is lazy, so the
+                    # carry-free programs above cost nothing unless
+                    # dispatched.
+                    for suff, mode in (("_cold", "cold"), ("_warm", "warm")):
+                        progs["step_steady" + suff] = make_step_pallas(
+                            self._mk_steady, single_shot=True, qp=qp_steady,
+                            n_iters=1, kinv_mode=mode)
+                        if self.steady_fuse > 1:
+                            progs["step_steady_k" + suff] = make_step_pallas(
+                                self._mk_steady, single_shot=True,
+                                qp=qp_steady, n_iters=1, k=self.steady_fuse,
+                                kinv_mode=mode)
                 if self.granularity == "step":
                     for n_it in sorted(set(self._warm_iters)):
                         progs[f"step_warm_{n_it}"] = make_step_pallas(
@@ -673,6 +759,14 @@ class HostLoopMPC:
         # the previous one's shifted (y, rho).
         rdt = x0.real.dtype
         duals = (np.zeros((B, cfg.dim_u * H), rdt), np.zeros((B,), rdt))
+        # K-inverse carry handle (config.qp_warm_kinv + Pallas big kernel):
+        # None until the first steady dispatch returns it, then a
+        # device-resident (B, n_qp, n_qp) f32 handed to the "warm" program
+        # variants. Deliberately NOT checkpointed - a resumed run re-enters
+        # through the cold program (the refresh re-converges in one solve;
+        # final iterates agree to NS tolerance, not bit-exactly).
+        kinv = None
+        use_kinv = self._kinv_carry and self.granularity in ("step", "mixed")
 
         # int/bool device->host fetches are unimplemented on the axon
         # backend: route them through an eager f32 cast on device
@@ -744,8 +838,16 @@ class HostLoopMPC:
             k = self.steady_fuse
             if (fused and not warm and not record and k > 1
                     and step + k <= cfg.n_steps):
-                carry, model_s, outs = progs["step_steady_k"](
-                    carry, duals, step_arr, args[0], model_s, *args[2:])
+                if use_kinv and kinv is None:
+                    carry, model_s, outs, kinv = progs["step_steady_k_cold"](
+                        carry, duals, step_arr, args[0], model_s, *args[2:])
+                elif use_kinv:
+                    carry, model_s, outs, kinv = progs["step_steady_k_warm"](
+                        carry, duals, kinv, step_arr, args[0], model_s,
+                        *args[2:])
+                else:
+                    carry, model_s, outs = progs["step_steady_k"](
+                        carry, duals, step_arr, args[0], model_s, *args[2:])
                 duals = outs[5]
                 step += k
                 if verbose:
@@ -758,10 +860,18 @@ class HostLoopMPC:
                     last_saved = step
                 continue
             if fused:
-                prog = (progs[f"step_warm_{self._warm_iters_for(step)}"]
-                        if warm else progs["step_steady"])
-                carry, model_s, outs = prog(carry, duals, step_arr, args[0],
-                                            model_s, *args[2:])
+                if not warm and use_kinv and kinv is None:
+                    carry, model_s, outs, kinv = progs["step_steady_cold"](
+                        carry, duals, step_arr, args[0], model_s, *args[2:])
+                elif not warm and use_kinv:
+                    carry, model_s, outs, kinv = progs["step_steady_warm"](
+                        carry, duals, kinv, step_arr, args[0], model_s,
+                        *args[2:])
+                else:
+                    prog = (progs[f"step_warm_{self._warm_iters_for(step)}"]
+                            if warm else progs["step_steady"])
+                    carry, model_s, outs = prog(carry, duals, step_arr,
+                                                args[0], model_s, *args[2:])
             else:
                 it_prog = progs["iter_warm"] if warm else progs["iter_steady"]
                 n_it = self._warm_iters_for(step) if warm else 1

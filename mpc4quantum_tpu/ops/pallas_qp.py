@@ -178,6 +178,11 @@ class BoxQPPallasAux(NamedTuple):
     ymax: jnp.ndarray
     rho: jnp.ndarray    # (B,) final (post-rebalance) penalty - warm value
     y: jnp.ndarray = None  # (B, n) final dual - warm value for the next solve
+    # (B, n, n) final-round K-inverse (boxqp_pallas_big only; in the solve's
+    # own Jacobi-scaled coordinates) - the kinv0 warm start for the next
+    # solve's Newton-Schulz refresh. None from the small kernel (its
+    # Gauss-Jordan inverse lives in-kernel and is not materialized).
+    kinv: jnp.ndarray = None
 
 
 def boxqp_accept(aux: BoxQPPallasAux, eps_abs: float, eps_rel: float,
@@ -453,7 +458,8 @@ def _admm_iters_lanes(Kinv, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l,
                                              "interpret", "return_aux",
                                              "eps_abs", "eps_rel",
                                              "acc_abs", "acc_rel",
-                                             "unroll_iters", "scale"))
+                                             "unroll_iters", "scale",
+                                             "ns_refresh", "ns_guard"))
 def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      rho_scale: float = 0.1, sigma: float = 1e-6,
                      alpha: float = 1.6, ns_iters: int = 30,
@@ -461,7 +467,9 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      y0=None, rho0=None,
                      eps_abs: float = 1e-6, eps_rel: float = 1e-6,
                      acc_abs: float = 1e-3, acc_rel: float = 1e-3,
-                     unroll_iters: bool = False, scale: bool = False):
+                     unroll_iters: bool = False, scale: bool = False,
+                     kinv0=None, ns_refresh: int = 10,
+                     ns_guard: float = 0.9):
     """Batch box-QP solve with the looped large-n kernel.
 
     Same algorithm and acceptance semantics as `boxqp_pallas` and
@@ -480,6 +488,17 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
         ~iters * n ops per round vs the in-kernel Gauss-Jordan form's
         additional ~2 n^3 - and the proven-to-lower form on TPU backends
         with limited in-kernel loop support.
+    :param kinv0: optional (B, n, n) K-inverse carried from the previous
+        solve of an MPC step chain (pass the previous aux.kinv unchanged).
+        When given, the between-round Newton-Schulz inverses run only
+        `ns_refresh` warm-started iterations instead of the cold `ns_iters`
+        - the exact mirror of solvers/boxqp.solve_boxqp_fixed(kinv0=...):
+        round 1 contraction-guarded from kinv0, later rounds from the
+        previous round's inverse rescaled by the provably-contracting
+        rho-shift factor. The NS chain is the dominant serial cost of this
+        kernel's solves at production budgets (experiments/logs/
+        r4_ns_share.log: freq 1.7x, drag 2.0x rollout swing over the
+        ns_iters range).
     :return: (B, n) solutions; with return_aux=True, (x, BoxQPPallasAux).
     """
     P = jnp.asarray(P, jnp.float32)
@@ -535,10 +554,28 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
 
     from ..solvers.boxqp import ns_inverse
 
+    # carried-inverse warm start (mirror of solve_boxqp_fixed kinv0): padded
+    # lanes get the identity, whose guard residual |1 - (1+sigma+rho)| is
+    # within the contraction bound - benign either way
+    kinv_prev = None
+    if kinv0 is not None:
+        kinv_prev = padm(jnp.asarray(kinv0, jnp.float32))
+    rho_prev = None
+
     lanes = lambda v: v.T  # (Bp, n) -> (n, Bp)
     for rnd in range(rounds):
         K = P_p + (sigma + rho_p)[:, None, None] * eye
-        Kinv = ns_inverse(K, iters=ns_iters)
+        if kinv_prev is None:
+            Kinv = ns_inverse(K, iters=ns_iters)
+        elif rho_prev is None:
+            Kinv = ns_inverse(K, iters=ns_refresh, X0=kinv_prev,
+                              guard=ns_guard)
+        else:
+            c = jnp.minimum(1.0, (sigma + rho_prev) / (sigma + rho_p))
+            Kinv = ns_inverse(K, iters=ns_refresh,
+                              X0=c[:, None, None] * kinv_prev, guard=jnp.inf)
+        if kinv0 is not None:
+            kinv_prev, rho_prev = Kinv, rho_p
         x_l, z_l, y_l = _admm_iters_lanes(
             Kinv, lanes(q_p), lanes(lb_p), lanes(ub_p), rho_p[None, :],
             lanes(x_p), lanes(z_p), lanes(y_p),
@@ -582,4 +619,5 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     return x_out, BoxQPPallasAux(
         prim=inf_rows(wpb(xb - zb)), dual=inf_rows(wdb(Px + qb + yb)),
         xmax=inf_rows(wpb(xb)), zmax=inf_rows(wpb(zb)), pxmax=inf_rows(wdb(Px)),
-        qmax=inf_rows(wdb(qb)), ymax=inf_rows(wdb(yb)), rho=rho_p[:B], y=y_ret)
+        qmax=inf_rows(wdb(qb)), ymax=inf_rows(wdb(yb)), rho=rho_p[:B], y=y_ret,
+        kinv=Kinv[:B])

@@ -75,7 +75,15 @@ class BoxQPParams:
     # converges quadratically: 8 iterations reach < 1e-6 from the guard
     # boundary with margin. Cold solves (no carried inverse) always run the
     # full ns_iters.
-    ns_refresh: int = struct.field(pytree_node=False, default=8)
+    ns_refresh: int = struct.field(pytree_node=False, default=10)
+    # contraction-guard threshold for the carried-inverse warm start: keep
+    # the carry while ||I - K X0||_inf < ns_guard, else fall back to the
+    # cold init (which at the refresh budget will NOT converge - the solve
+    # is then flagged by acceptance). NS converges quadratically from ANY
+    # r0 < 1, so a loose guard costs only ~log2 extra iterations: from 0.9
+    # the residual reaches 1e-6 in 7 iterations. 0.9 + refresh 10 absorbs
+    # the early-trajectory linearization drift that a 0.5 guard rejects.
+    ns_guard: float = struct.field(pytree_node=False, default=0.9)
     # Jacobi (diagonal) equilibration: solve the QP in x' = x / d with
     # d = diag(P)^-1/2, the cheap core of OSQP's Ruiz scaling (which the
     # reference always ran through CVXPY). The condensed P's diagonal spans
@@ -369,7 +377,8 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         elif rho_prev is None:
             # cross-solve warm start: K drifted by the linearization delta -
             # contraction-guarded, cold fallback (flagged via acceptance)
-            Kinv = ns_inverse(K, iters=params.ns_refresh, X0=kinv_prev)
+            Kinv = ns_inverse(K, iters=params.ns_refresh, X0=kinv_prev,
+                              guard=params.ns_guard)
         else:
             # intra-solve rounds: same P, K differs by (rho - rho_prev) I.
             # Rescaling by (sigma+rho_prev)/(sigma+rho) puts the eigenvalues
