@@ -139,7 +139,8 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        checkpoint_every: int = 0,
                        progress_every: int = 0,
                        rescue: dict | None = None,
-                       _plants=None, _keys=None):
+                       _plants=None, _keys=None,
+                       _pallas_interpret: bool = False):
     """Run a `batch`-lane detuning-sweep fleet of scenario `sc` end-to-end.
 
     :param sc: a presets.Scenario.
@@ -253,7 +254,10 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         # captured-QP ladder was measured at the cold/warm rho)
         cfg = dataclasses.replace(
             cfg, qp_params=cfg.qp_params.replace(ns_iters=tuned_ns))
-    wb = PRESET_WARM_BUDGET.get(sc.name)
+    # the tuned warm-budget cut was swept UNDER dual warm-starting; a forced
+    # cold run (warm_duals=False, the r2-form escape hatch) keeps the
+    # preset's own full budget everywhere
+    wb = PRESET_WARM_BUDGET.get(sc.name) if warm_duals else None
     if wb is not None:
         default_b, tuned_b = wb
         if (cfg.qp_params.n_rounds, cfg.qp_params.max_iter) == default_b:
@@ -282,7 +286,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         warm_sqp_iters=warm_sqp_iters, granularity=granularity,
         steady_fuse=steady_fuse,
         steady_qp_params=steady_qp_params, qp_kernel=qp_kernel,
-        qp_impl=("pallas" if (not cpu and cfg.solver == "qp") else "xla"),
+        # _pallas_interpret: run the EXACT production kernel programs in
+        # Pallas interpret mode on CPU (validation of chip configurations
+        # without the chip; slow - tiny batches only)
+        qp_impl=("pallas" if ((not cpu or _pallas_interpret)
+                              and cfg.solver == "qp") else "xla"),
+        pallas_interpret=_pallas_interpret,
         plant_impl="pallas" if (not cpu and is_quantum) else "xla",
     )
 
