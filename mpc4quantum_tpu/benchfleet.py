@@ -77,11 +77,22 @@ PRESET_STEADY_BUDGET = {
     # (experiments/validate_r4_tuning.py): identical everywhere except
     # drag_state, whose scaled tight 2x12 budget dips 8e-4 at 20 - it keeps
     # 24 (0.99970/0.99969, bit-better than 30).
+    # ONE-ROUND steady budgets on the big-kernel presets (round 4,
+    # experiments/sweep_steady_rounds.py + on-chip A/B r4_rounds.log): rho
+    # is frozen on acceptance in the dual-warm-started steady chain, so the
+    # second rho round recomputed the SAME K-inverse - a full cold
+    # Newton-Schulz chain per round, the dominant rollout cost
+    # (r4_ns_share.log). 1 x (2i) at equal total ADMM iterations is
+    # fidelity-identical (freq/cnot exactly, drag within 6e-5) and measures
+    # freq 1.29x / drag 1.07x / cnot 1.25x rollout throughput on-chip.
+    # The SMALL-kernel presets keep 2 rounds: their steady tails rely on
+    # the mid-solve rho re-balance (1x20 collapses not_state to 95% QP
+    # failures and not_gate entirely; lindblad's worst lane dips 1e-2).
     "not_state": {"budget": (2, 10), "ns_iters": 20},
     "not_gate": {"budget": (2, 10), "ns_iters": 20},
-    "not_state_freq": {"budget": (2, 25), "scale": True, "ns_iters": 20},
-    "drag_state": {"budget": (2, 12), "scale": True, "ns_iters": 24},
-    "cnot_state": {"budget": (2, 50), "rho0": 1.0, "ns_iters": 20},
+    "not_state_freq": {"budget": (1, 50), "scale": True, "ns_iters": 20},
+    "drag_state": {"budget": (1, 24), "scale": True, "ns_iters": 24},
+    "cnot_state": {"budget": (1, 100), "rho0": 1.0, "ns_iters": 20},
     # 2x15 (not the flagship's 2x10): at 2x10 ONE chip lane in 256 fails
     # acceptance by a rounding tail (CPU clean, chip r4 bench session) -
     # the dissipative condensed P is slightly harder; 2x15 restores a
@@ -130,7 +141,8 @@ PRESET_WARM_BUDGET = {
 def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        record: bool = False, detune_scale: float = 0.01,
                        reps: int = 1, warm_sqp_iters=None,
-                       granularity: str = "mixed", steady_fuse: int = 3,
+                       granularity: str = "mixed",
+                       steady_fuse: int | None = None,
                        warm_duals: bool | None = None, steady_qp_params=None,
                        qp_kernel: str = "auto",
                        lqr_seed: bool | None = None,
@@ -238,6 +250,10 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
     tuned_entry = PRESET_STEADY_BUDGET.get(sc.name) or {}
     if warm_kinv is None:
         warm_kinv = bool(tuned_entry.get("warm_kinv", False))
+    if steady_fuse is None:
+        # preset-tuned chunk size (e.g. freq runs fuse = measure_freq so the
+        # K-inverse carry's cold re-entries align with chunk starts)
+        steady_fuse = int(tuned_entry.get("fuse", 3))
     cfg = dataclasses.replace(sc.config, qp_backend="ns",
                               qp_warm_duals=warm_duals,
                               qp_warm_kinv=warm_kinv)

@@ -767,6 +767,22 @@ class HostLoopMPC:
         # final iterates agree to NS tolerance, not bit-exactly).
         kinv = None
         use_kinv = self._kinv_carry and self.granularity in ("step", "mixed")
+        # Measurement-aligned cold re-entry: with measure_freq = m > 1 the
+        # observed state re-syncs with the (noisy) plant at every m-th step,
+        # and the solve right after a measurement sees a JUMPED linearization
+        # - the carried inverse is out of the NS contraction region there
+        # (measured: freq's m=5 spikes have guard residual 19-75 vs 0.1-0.3
+        # between measurements, experiments/sweep_kinv_chain.py; carrying
+        # across them killed every lane on chip, r4_warm_kinv.log). The host
+        # knows the cadence, so it re-enters through the cold program at
+        # every step = 0 (mod m) and never lets a chunk contain an interior
+        # spike. With steady_fuse == m the chunks align exactly: one
+        # cold-entry chunk per measurement period, the carry living in-graph
+        # only.
+        kinv_m = int(cfg.measure_freq) if use_kinv else 0
+
+        def _spike(s: int) -> bool:
+            return kinv_m > 1 and s % kinv_m == 0
 
         # int/bool device->host fetches are unimplemented on the axon
         # backend: route them through an eager f32 cast on device
@@ -836,8 +852,15 @@ class HostLoopMPC:
             # k-step chunk: only when not recording (a chunk returns only
             # its last step's outputs)
             k = self.steady_fuse
-            if (fused and not warm and not record and k > 1
-                    and step + k <= cfg.n_steps):
+            if _spike(step):
+                kinv = None  # cold re-entry at the post-measurement solve
+            chunk_ok = (fused and not warm and not record and k > 1
+                        and step + k <= cfg.n_steps)
+            if chunk_ok and kinv_m > 1:
+                # a chunk may START at a spike (its first solve is the cold
+                # one) but must not contain an interior spike
+                chunk_ok = all((step + j) % kinv_m for j in range(1, k))
+            if chunk_ok:
                 if use_kinv and kinv is None:
                     carry, model_s, outs, kinv = progs["step_steady_k_cold"](
                         carry, duals, step_arr, args[0], model_s, *args[2:])

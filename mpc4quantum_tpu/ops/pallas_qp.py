@@ -571,9 +571,11 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
             Kinv = ns_inverse(K, iters=ns_refresh, X0=kinv_prev,
                               guard=ns_guard)
         else:
+            # guarded even here: the rho-shift rescale is provably
+            # contracting only when kinv_prev converged (boxqp.py mirror)
             c = jnp.minimum(1.0, (sigma + rho_prev) / (sigma + rho_p))
             Kinv = ns_inverse(K, iters=ns_refresh,
-                              X0=c[:, None, None] * kinv_prev, guard=jnp.inf)
+                              X0=c[:, None, None] * kinv_prev, guard=ns_guard)
         if kinv0 is not None:
             kinv_prev, rho_prev = Kinv, rho_p
         x_l, z_l, y_l = _admm_iters_lanes(

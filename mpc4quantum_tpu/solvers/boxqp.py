@@ -382,11 +382,13 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         else:
             # intra-solve rounds: same P, K differs by (rho - rho_prev) I.
             # Rescaling by (sigma+rho_prev)/(sigma+rho) puts the eigenvalues
-            # of K X0 in (0, 1] (provably contracting - no guard needed);
-            # rho frozen on acceptance makes this a no-op on healthy lanes.
+            # of K X0 in (0, 1] WHEN kinv_prev converged (rho frozen on
+            # acceptance makes this a no-op on healthy lanes) - but a
+            # round-1 guard fallback leaves kinv_prev partial, so the guard
+            # still applies (trusting it blindly diverges, measured).
             c = jnp.minimum(1.0, (sigma + rho_prev) / (sigma + rho))
             Kinv = ns_inverse(K, iters=params.ns_refresh,
-                              X0=c * kinv_prev, guard=jnp.inf)
+                              X0=c * kinv_prev, guard=params.ns_guard)
         if kinv0 is not None:
             kinv_prev, rho_prev = Kinv, rho
 
