@@ -12,7 +12,6 @@ solve's inverse) is a ~2x preset lever.
 Env: PW_PRESETS (not_state_freq,drag_state).
 """
 import os, sys, time, traceback
-import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -13,7 +13,6 @@ freq 1x50 == 2x25 exactly and drag 1x24 within 6e-5.
 Env: PR_PRESETS (default freq,drag + flagship), PR_BATCH_<name>.
 """
 import os, sys, time, traceback
-import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_default_matmul_precision", "highest")

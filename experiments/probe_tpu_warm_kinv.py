@@ -12,7 +12,6 @@ Env: PW_PRESETS (default not_state_freq,drag_state,cnot_state),
      PW_BATCH_<name> overrides.
 """
 import os, sys, time, traceback
-import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -16,7 +16,6 @@ Env: SR_PRESETS (default not_state_freq,drag_state),
      SR_BATCH_<name> overrides.
 """
 import os, sys, time, traceback
-import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_platforms", "cpu")

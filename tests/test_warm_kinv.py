@@ -27,7 +27,6 @@ import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from mpc4quantum_tpu.solvers.boxqp import (BoxQPParams, ns_inverse,
                                            solve_boxqp_fixed)
