@@ -58,7 +58,8 @@ import numpy as np
 #   crosstalk: EXCLUDED from this table - warm_start=False resets the guess
 #   every step, so every step runs the warm program at cfg.qp_params (steady
 #   programs never execute). Its cut lives in the preset itself instead:
-#   rho0=1.0 + 2x75 (presets.py crosstalk), fidelity 0.9997 > the old
+#   rho0=1.0 + 1x150 (presets.py crosstalk; round 4 - one cold NS chain
+#   per solve, 1.09x on-chip at identical fidelity), fidelity 0.9997 > the old
 #   2x150 default's 0.9980; 2x50 is the cliff at any rho0, and its
 #   mid-trajectory QPs (cond ~1e6, q up to ~600) defeat equilibration at
 #   reduced budgets too (measured: scaled 2x15-2x35 all 100% QP failures).

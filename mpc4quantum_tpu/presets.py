@@ -224,9 +224,15 @@ def crosstalk(order: int = 1, coupling: float = 0.0) -> Scenario:
                          # ns_iters=20: the captured-QP NS ladder reaches
                          # ||I-KX|| ~ 5e-6 by 20 iterations at rho0=1.0
                          # (experiments/sweep_ns_iters.py) - 30 was 1.5x
-                         # overbudget on the serial inverse chain
-                         qp_params=BoxQPParams(rho0=1.0, max_iter=75,
-                                               ns_iters=20)),
+                         # overbudget on the serial inverse chain.
+                         # ONE round (round 4): at rho0=1.0 the mid-solve
+                         # rho re-balance is redundant here too - 1x150 ==
+                         # 2x75 exactly (fid 0.99926, zero failures, CPU
+                         # batch-1024 sweep; 1x120 is the cliff) at one
+                         # cold NS chain per solve instead of two: chip
+                         # A/B 449 -> 488 r/s (r4_xtalk_rounds.log)
+                         qp_params=BoxQPParams(rho0=1.0, max_iter=150,
+                                               n_rounds=1, ns_iters=20)),
         sat=sat, du=0.25, target_state=np.kron(targ1, targ2).flatten(),
     )
 

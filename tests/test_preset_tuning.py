@@ -70,11 +70,11 @@ def test_tuned_budget_not_gate():
 def test_crosstalk_preset_budget():
     """warm_start=False resets the guess every step, so steady programs
     never run and the tuning table must leave crosstalk alone; its cut
-    lives in the preset's own qp_params instead (rho0=1.0, 2x75 - measured
+    lives in the preset's own qp_params instead (rho0=1.0, 1x150 - measured
     BETTER fidelity than the old 2x150 rho0-default form, presets.py)."""
     assert "crosstalk" not in PRESET_STEADY_BUDGET
     m = _run("crosstalk", 4)
-    assert not m["warm_duals"] and m["steady_budget"] == "2x75", m
+    assert not m["warm_duals"] and m["steady_budget"] == "1x150", m
     assert m["qp_fail_frac"] == 0.0 and m["fidelity_min"] >= 0.995, m
 
 
