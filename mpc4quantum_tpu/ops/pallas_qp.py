@@ -571,11 +571,12 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
             Kinv = ns_inverse(K, iters=ns_refresh, X0=kinv_prev,
                               guard=ns_guard)
         else:
-            # guarded even here: the rho-shift rescale is provably
-            # contracting only when kinv_prev converged (boxqp.py mirror)
+            # trust the rho-shift rescale (boxqp.py mirror: any r0 < 1 is
+            # provable here and no finite guard separates a huge-but-exact
+            # rho jump from a partial previous inverse)
             c = jnp.minimum(1.0, (sigma + rho_prev) / (sigma + rho_p))
             Kinv = ns_inverse(K, iters=ns_refresh,
-                              X0=c[:, None, None] * kinv_prev, guard=ns_guard)
+                              X0=c[:, None, None] * kinv_prev, guard=jnp.inf)
         if kinv0 is not None:
             kinv_prev, rho_prev = Kinv, rho_p
         x_l, z_l, y_l = _admm_iters_lanes(

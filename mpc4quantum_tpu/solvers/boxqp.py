@@ -383,12 +383,16 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
             # intra-solve rounds: same P, K differs by (rho - rho_prev) I.
             # Rescaling by (sigma+rho_prev)/(sigma+rho) puts the eigenvalues
             # of K X0 in (0, 1] WHEN kinv_prev converged (rho frozen on
-            # acceptance makes this a no-op on healthy lanes) - but a
-            # round-1 guard fallback leaves kinv_prev partial, so the guard
-            # still applies (trusting it blindly diverges, measured).
+            # acceptance makes this a no-op on healthy lanes) - and a huge
+            # rho jump legitimately sits at r0 = drho/(sigma+rho_new)
+            # arbitrarily close to 1, so NO finite guard separates it from
+            # the partial-previous-inverse failure mode here. Trust the
+            # rescale (a partial refresh is ADMM-tolerable and acceptance
+            # flags the rest); the cross-solve entry is where the guard
+            # earns its keep.
             c = jnp.minimum(1.0, (sigma + rho_prev) / (sigma + rho))
             Kinv = ns_inverse(K, iters=params.ns_refresh,
-                              X0=c * kinv_prev, guard=params.ns_guard)
+                              X0=c * kinv_prev, guard=jnp.inf)
         if kinv0 is not None:
             kinv_prev, rho_prev = Kinv, rho
 
