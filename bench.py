@@ -417,13 +417,14 @@ def main():
     preset_results = {}
     preset_spec = {
         # name: (batch, build_kwargs, min-fidelity gate or None)
-        # Batch sizes are the measured throughput knees from the round-4
-        # batch ladder under the tuned warm budgets (experiments/logs/
-        # r4_presets.log, median-of-4 reps on-chip): drag 1497 r/s @1024,
-        # crosstalk 462 @1024, not_gate 795 @512, lindblad 6105 @4096,
-        # cnot 37.8 @128; not_state_freq's knee is 1024 (2048 regresses).
+        # Batch sizes are the measured throughput knees under the FINAL
+        # round-4 production forms (one-round steady budgets; ladders in
+        # experiments/logs/r4_presets.log + r4_knee2.log, median-of-4
+        # on-chip reps): drag 1731 r/s @2048, crosstalk 488 @1024,
+        # not_gate 850 @1024, lindblad 7757 @8192, cnot 48.3 @128 (256
+        # regresses); not_state_freq's knee is 1024 (2048 regresses).
         "not_state_freq": (1024, {}, 0.98),
-        "drag_state": (1024, {}, 0.98),
+        "drag_state": (2048, {}, 0.98),
         "crosstalk": (1024, {}, 0.98),
         # Round 4: the r3 0.98664 worst lane was an ORDER-1 model artifact,
         # not physics - the order-2 model at the same tuned budgets measures
@@ -435,12 +436,12 @@ def main():
         "cnot_state": (128, {"order": 2}, 0.99),
         # n_steps=90 so the exit condition can physically fire (see
         # presets.not_gate docstring); quality = every lane exits early
-        "not_gate": (512, {"n_steps": 90}, None),
+        "not_gate": (1024, {"n_steps": 90}, None),
         # open-system (Lindblad) T1-limited prep: the fidelity bar is the
         # decay physics floor, not a solver property (tests/test_lindblad.py
         # - coherent drive cannot hold P(|1>) against amplitude damping;
         # worse-detuned lanes ride the decay envelope longer)
-        "lindblad_state": (4096, {}, 0.85),
+        "lindblad_state": (8192, {}, 0.85),
     }
     names = os.environ.get("BENCH_PRESETS", "all" if path == "hostloop" else "")
     names = list(preset_spec) if names == "all" else [n for n in names.split(",") if n]
