@@ -91,7 +91,8 @@ PRESET_STEADY_BUDGET = {
     # failures and not_gate entirely; lindblad's worst lane dips 1e-2).
     "not_state": {"budget": (2, 10), "ns_iters": 20},
     "not_gate": {"budget": (2, 10), "ns_iters": 20},
-    "not_state_freq": {"budget": (1, 50), "scale": True, "ns_iters": 20},
+    "not_state_freq": {"budget": (1, 50), "scale": True,
+                       "ns_iters": 16, "ns_warm": 20},
     "drag_state": {"budget": (1, 24), "scale": True, "ns_iters": 24},
     "cnot_state": {"budget": (1, 100), "rho0": 1.0, "ns_iters": 20},
     # 2x15 (not the flagship's 2x10): at 2x10 ONE chip lane in 256 fails
@@ -228,7 +229,11 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         if tuned is not None and steady_qp_params is None:
             r, i = tuned["budget"]
             tuned_rho0 = tuned.get("rho0")
-            tuned_ns = tuned.get("ns_iters")
+            # "ns_warm" splits the NS budget by phase: the steady phase's
+            # equilibrated warm-rho K tolerates a shorter chain than the
+            # warm phase's unscaled cold-rho K (freq: steady 16 is quality-
+            # identical but warm at 16 collapses - r4_cpu_sweeps.log)
+            tuned_ns = tuned.get("ns_warm", tuned.get("ns_iters"))
             steady_qp_params = BoxQPParams(
                 max_iter=i, n_rounds=r,
                 rho0=(tuned_rho0 if tuned_rho0 is not None
