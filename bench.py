@@ -308,9 +308,12 @@ def main():
     qp_impl = os.environ.get("BENCH_QP_IMPL", "xla" if on_cpu else "pallas")
     plant_impl = os.environ.get("BENCH_PLANT_IMPL", "xla" if on_cpu else "pallas")
     gran = os.environ.get("BENCH_GRAN", "sqp" if on_cpu else "step")
-    # 3 steady steps per dispatch: the sweep optimum (probe_tpu_fuse.py;
-    # k=1 is dispatch-latency-bound, k=6 regresses)
-    fuse = int(os.environ.get("BENCH_FUSE", "1" if on_cpu else "3"))
+    # 6 steady steps per dispatch: the round-4 small-kernel optimum
+    # (experiments/logs/r4_micro.log + r4_micro2.log: fuse 6 = 1.065x fuse 3
+    # at B=16384, measured twice within-process; batch-stacking to 24576 is
+    # negative). The round-2 "k=6 regresses" reading (probe_tpu_fuse.py) was
+    # a big-kernel-era property; k=1 remains dispatch-latency-bound.
+    fuse = int(os.environ.get("BENCH_FUSE", "1" if on_cpu else "6"))
     warm_iters = None  # set by the hostloop branch
 
     if path == "hostloop":

@@ -89,7 +89,10 @@ PRESET_STEADY_BUDGET = {
     # The SMALL-kernel presets keep 2 rounds: their steady tails rely on
     # the mid-solve rho re-balance (1x20 collapses not_state to 95% QP
     # failures and not_gate entirely; lindblad's worst lane dips 1e-2).
-    "not_state": {"budget": (2, 10), "ns_iters": 20},
+    # fuse=6: the round-4 flagship fuse micro-sweep (r4_micro.log +
+    # r4_micro2.log) - 1.065x over fuse 3 at the B=16384 knee, measured
+    # twice within-process; B=24576 stacking is negative (0.98x).
+    "not_state": {"budget": (2, 10), "ns_iters": 20, "fuse": 6},
     "not_gate": {"budget": (2, 10), "ns_iters": 20},
     "not_state_freq": {"budget": (1, 50), "scale": True,
                        "ns_iters": 16, "ns_warm": 20},
