@@ -347,9 +347,15 @@ def main():
         # overrides, e.g. "8,8" for the round-3 flat form.
         warm_iters = tuple(int(v) for v in
                            os.environ.get("BENCH_WARM_ITERS", "8,1").split(","))
+        # warm 3x12 (round 4b): clean vs 3x15 at the production batch
+        # (min fid 0.99880 vs 0.99872 at B=16384, zero failures; 3x10 dips -
+        # experiments/confirm_budget_floors_r4b.py). The cold escape hatch
+        # (BENCH_WARM_DUALS=0) keeps 3x15 everywhere - only that form is
+        # proven with cold steady solves.
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
                             qp_backend="ns", qp_warm_duals=warm_duals,
-                            qp_params=BoxQPParams(max_iter=15, n_rounds=3))
+                            qp_params=BoxQPParams(max_iter=12 if warm_duals else 15,
+                                                  n_rounds=3))
         steady_qp = (BoxQPParams(max_iter=10, n_rounds=2,
                                  accept_abs=4e-3, accept_rel=4e-3)
                      if warm_duals else None)
@@ -444,7 +450,9 @@ def main():
         # decay physics floor, not a solver property (tests/test_lindblad.py
         # - coherent drive cannot hold P(|1>) against amplitude damping;
         # worse-detuned lanes ride the decay envelope longer)
-        "lindblad_state": (8192, {}, 0.85),
+        # knee settled at 16384 within one process: 8,134 r/s vs 7,507 at
+        # 8192 (r4_micro3.log; fuse 6 from the tuned entry adds 1.02x)
+        "lindblad_state": (16384, {}, 0.85),
     }
     names = os.environ.get("BENCH_PRESETS", "all" if path == "hostloop" else "")
     names = list(preset_spec) if names == "all" else [n for n in names.split(",") if n]

@@ -94,15 +94,25 @@ PRESET_STEADY_BUDGET = {
     # twice within-process; B=24576 stacking is negative (0.98x).
     "not_state": {"budget": (2, 10), "ns_iters": 20, "fuse": 6},
     "not_gate": {"budget": (2, 10), "ns_iters": 20},
-    "not_state_freq": {"budget": (1, 50), "scale": True,
+    # Round-4b floor ladder (experiments/sweep_budget_floors_r4b.py +
+    # confirm_budget_floors_r4b.py, production batches): freq steady 1x40
+    # is clean (min 0.99904 vs 0.99873 at 1x50; 1x35 dips 4e-4, 1x30 1e-3);
+    # drag 1x19 is clean (0.99964 vs 0.99962; 1x16 collapses - 1% lane
+    # failures); cnot 1x80 dips 1.6e-4 (0.99673 full-length, far above the
+    # 0.99 gate; r4_cpu_sweeps.log).
+    "not_state_freq": {"budget": (1, 40), "scale": True,
                        "ns_iters": 16, "ns_warm": 20},
-    "drag_state": {"budget": (1, 24), "scale": True, "ns_iters": 24},
-    "cnot_state": {"budget": (1, 100), "rho0": 1.0, "ns_iters": 20},
+    "drag_state": {"budget": (1, 19), "scale": True, "ns_iters": 24,
+                   # fuse 6: 1.03x within-process at B=2048 (r4_micro3.log)
+                   "fuse": 6},
+    "cnot_state": {"budget": (1, 80), "rho0": 1.0, "ns_iters": 20},
     # 2x15 (not the flagship's 2x10): at 2x10 ONE chip lane in 256 fails
     # acceptance by a rounding tail (CPU clean, chip r4 bench session) -
     # the dissipative condensed P is slightly harder; 2x15 restores a
     # clean margin at trivial cost
-    "lindblad_state": {"budget": (2, 15), "ns_iters": 20},
+    # fuse 6 + the B=16384 knee: 8,336 r/s vs 8,134 (fuse 3) vs 7,507
+    # (B=8192), all within one process (r4_micro3.log)
+    "lindblad_state": {"budget": (2, 15), "ns_iters": 20, "fuse": 6},
 }
 
 # Per-warm-step SQP budgets (round-4 sweeps, experiments/sweep_warm_lqr.py +
@@ -137,7 +147,10 @@ PRESET_WARM_ITERS = {
 # ((expected preset default), (tuned)) - applied only when the caller left
 # the preset's own budget untouched, so explicit choices survive.
 PRESET_WARM_BUDGET = {
-    "not_state_freq": ((2, 150), (2, 50)),
+    # freq 2x40 re-swept clean at B=1024 (2x30 also clean at -6e-5; 2x25 is
+    # a TOTAL collapse - the cliff; sweep_budget_floors_r4b.py). 2x40 keeps
+    # one safe rung above the cliff.
+    "not_state_freq": ((2, 150), (2, 40)),
     "drag_state": ((2, 150), (2, 50)),
     "cnot_state": ((3, 300), (3, 100)),
 }
@@ -299,11 +312,20 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         # re-sweep at batch 2048 confirms the shape is NOT shrinkable:
         # 2x15/1x25/1x15 all collapse to 100% QP failures at cold start -
         # the three rho-rebalance rounds are load-bearing, unlike the
-        # dual-warm-started steady phase). Applied only when the caller
-        # left qp_params untouched, and replacing only the budget fields,
-        # so an explicit unroll/scale/rho0/budget choice survives.
+        # dual-warm-started steady phase). Round 4b trimmed the per-round
+        # budget 15 -> 12 (confirm_budget_floors_r4b.py: not_state 3x12 min
+        # fid 0.99880 vs 0.99872 at B=16384, not_gate identical with every
+        # lane synthesizing early; 3x10 dips 1.6e-4). lindblad_state keeps
+        # 3x15: its worst lane drops 1.7e-2 at 3x12 (0.88842 vs 0.90536) -
+        # the dissipative condensed P punishes a shorter rho re-balance.
+        # Applied only when the caller left qp_params untouched, and
+        # replacing only the budget fields, so an explicit
+        # unroll/scale/rho0/budget choice survives. A forced-cold run
+        # (warm_duals=False) also keeps 3x15: only that form is proven with
+        # cold steady solves.
+        wi = 15 if (sc.name == "lindblad_state" or not warm_duals) else 12
         cfg = dataclasses.replace(
-            cfg, qp_params=cfg.qp_params.replace(max_iter=15, n_rounds=3))
+            cfg, qp_params=cfg.qp_params.replace(max_iter=wi, n_rounds=3))
     runner = HostLoopMPC(
         cfg, sc.sat, du=sc.du, plant_step_fn=step_fn,
         lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,

@@ -46,7 +46,7 @@ def test_tuned_budget_not_state_freq():
     m = _run("not_state_freq", 8)
     # 2x25 scaled: tail-limited, clean through batch 1024 (benchfleet table
     # note) - smaller budgets pass at this batch but fail fleet-scale tails
-    assert m["warm_duals"] and m["steady_budget"] == "1x50", m
+    assert m["warm_duals"] and m["steady_budget"] == "1x40", m
     assert m["qp_scale"], m
     assert m["qp_fail_frac"] == 0.0 and m["completed_frac"] == 1.0, m
     assert m["fidelity_min"] >= 0.99, m
@@ -54,7 +54,7 @@ def test_tuned_budget_not_state_freq():
 
 def test_tuned_budget_drag_state():
     m = _run("drag_state", 8)
-    assert m["warm_duals"] and m["steady_budget"] == "1x24", m
+    assert m["warm_duals"] and m["steady_budget"] == "1x19", m
     assert m["qp_scale"], m  # equilibration buys 2x25 -> 2x12 (diag spread ~170)
     assert m["qp_fail_frac"] == 0.0 and m["completed_frac"] == 1.0, m
     assert m["fidelity_min"] >= 0.99, m
@@ -85,7 +85,7 @@ def test_tuned_budget_cnot_state_full_length():
     physics-limited, see bench.py preset_spec note): measured 0.98685 at
     batch 64, production path, 1/4 the old 2x200 budget."""
     m = _run("cnot_state", 4)
-    assert m["warm_duals"] and m["steady_budget"] == "1x100", m
+    assert m["warm_duals"] and m["steady_budget"] == "1x80", m
     assert m["qp_fail_frac"] == 0.0 and m["completed_frac"] == 1.0, m
     assert m["fidelity_min"] >= 0.98, m
 
