@@ -343,10 +343,12 @@ def main():
         # from the shifted step-0 guess, warm step 1 converges in ONE
         # line-searched SQP iteration - (8, 1) is bit-equal in fleet quality
         # to the flat (8, 8) budget (fid 0.99927/0.99878, zero failures) at
-        # 1.41x fewer warm-chain serial ADMM iterations. BENCH_WARM_ITERS
+        # 1.41x fewer warm-chain serial ADMM iterations. Round 4b dropped
+        # step 0 to 7 (iteration 8 is a no-op on every preset at production
+        # batches; 6 is the cliff - 41% QP failures). BENCH_WARM_ITERS
         # overrides, e.g. "8,8" for the round-3 flat form.
         warm_iters = tuple(int(v) for v in
-                           os.environ.get("BENCH_WARM_ITERS", "8,1").split(","))
+                           os.environ.get("BENCH_WARM_ITERS", "7,1").split(","))
         # warm 3x12 (round 4b): clean vs 3x15 at the production batch
         # (min fid 0.99880 vs 0.99872 at B=16384, zero failures; 3x10 dips -
         # experiments/confirm_budget_floors_r4b.py). The cold escape hatch

@@ -126,14 +126,20 @@ PRESET_STEADY_BUDGET = {
 # the 0.98 gate; (8, 2) dips to 0.99822. The LQR-seeded init
 # (MPCConfig.lqr_seed) was measured WORSE (worst lane 0.825 on the
 # flagship) and stays off.
+# Round 4b: the step-0 budget dropped 8 -> 7 - SQP iteration 8 is a no-op
+# on EVERY preset at production batches (bit-equal fid/min/fail: flagship
+# B=16384, not_gate, lindblad, freq, drag; cnot min fid +4e-5; crosstalk
+# (7,4) identical). (6,1) is the cliff: the flagship collapses to 41% QP
+# failures - step 0's linearization genuinely needs 7 line-searched
+# iterations from the cold guess.
 PRESET_WARM_ITERS = {
-    "not_state": (8, 1),
-    "not_gate": (8, 1),
-    "not_state_freq": (8, 1),
-    "drag_state": (8, 1),
-    "cnot_state": (8, 1),
-    "crosstalk": (8, 4),
-    "lindblad_state": (8, 1),
+    "not_state": (7, 1),
+    "not_gate": (7, 1),
+    "not_state_freq": (7, 1),
+    "drag_state": (7, 1),
+    "cnot_state": (7, 1),
+    "crosstalk": (7, 4),
+    "lindblad_state": (7, 1),
 }
 
 # WARM-phase ADMM budgets for the mid/large presets (round-4 sweep,
