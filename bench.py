@@ -474,15 +474,29 @@ def main():
             # rollouts_per_s_median is a true median-of-3 (VERDICT r3
             # item 3 asked for >= 3 timed reps; the extra runs cost
             # seconds - first_run_s dominates each preset's wall-clock)
-            m, _ = run_hostloop_fleet(sc, batch_p, key=jax.random.PRNGKey(1),
-                                      cpu=on_cpu, reps=4, rescue=rescue)
-            # quality gates: worst lane, not just the mean
-            assert m["completed_frac"] == 1.0, f"{name}: {m}"
-            assert m["qp_fail_frac"] == 0.0, f"{name}: {m}"
-            if fid_gate is not None:
-                assert m["fidelity_min"] >= fid_gate, f"{name}: {m}"
-            else:
-                assert m["exit_early_frac"] == 1.0, f"{name}: {m}"  # gate synthesized
+            # Gate failures (and per-preset crashes) are RECORDED, not
+            # fatal: one marginal chip lane must not void the artifact's
+            # other six workloads. gate_failed carries the failed
+            # condition; the top-level preset_gates_ok summarizes.
+            m = None
+            try:
+                m, _ = run_hostloop_fleet(sc, batch_p,
+                                          key=jax.random.PRNGKey(1),
+                                          cpu=on_cpu, reps=4, rescue=rescue)
+                # quality gates: worst lane, not just the mean
+                assert m["completed_frac"] == 1.0, f"{name}: completed_frac {m['completed_frac']}"
+                assert m["qp_fail_frac"] == 0.0, f"{name}: qp_fail_frac {m['qp_fail_frac']}"
+                if fid_gate is not None:
+                    assert m["fidelity_min"] >= fid_gate, \
+                        f"{name}: fidelity_min {m['fidelity_min']} < {fid_gate}"
+                else:
+                    # quality = the exit condition synthesized on every lane
+                    assert m["exit_early_frac"] == 1.0, \
+                        f"{name}: exit_early_frac {m['exit_early_frac']}"
+            except Exception as e:  # noqa: BLE001 - recorded, see above
+                print(f"preset {name} gate failed: {e!r}", file=sys.stderr)
+                m = dict(m) if isinstance(m, dict) else {"preset": name}
+                m["gate_failed"] = repr(e)
             preset_results[name] = m
 
     # Device calibration (VERDICT r3 item 2): fixed-work probes recorded in
@@ -544,6 +558,8 @@ def main():
     }
     if preset_results:
         out["presets"] = preset_results
+        out["preset_gates_ok"] = not any(
+            "gate_failed" in (m or {}) for m in preset_results.values())
     # quality gates: mean AND worst-lane fidelity AND completion - a fleet
     # where a tail of lanes diverges must not "pass" on the mean
     assert fid_mean > 0.98, f"quality gate failed: fleet fidelity {fid_mean}"
