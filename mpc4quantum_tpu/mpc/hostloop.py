@@ -372,6 +372,17 @@ class HostLoopMPC:
             qp_alpha = float(qp.alpha)
             qp_scale = bool(qp.scale)
 
+            # Riccati exact K-inverse (BoxQPParams.kinv="riccati"): the
+            # large-n kernels' dominant serial cost is the cold NS inverse
+            # chain; the per-lane (A_s, B_s) linearization that built P is
+            # handed (real-embedded) to the kernel wrapper so round 1's
+            # inverse comes from one exact LQR factorization instead
+            # (solvers/riccati.py; VERDICT r4 item 2). Inert at "ns".
+            n_qp_static = cfgH * self.config.dim_u
+            kind_res = (self.qp_kernel if self.qp_kernel != "auto"
+                        else ("small" if n_qp_static <= 16 else "big"))
+            use_ric = (kind_res != "small" and qp.kinv == "riccati")
+
             def pre(c, si, p, m):
                 X_ref, U_ref, bm, lift_x, u_prev, _ = step_fn.context(
                     c, step, p, m, Xtc, Utc)
@@ -380,9 +391,12 @@ class HostLoopMPC:
                 P, q, lb, ub, w, M = qp_data(
                     lift_x, X_ref, U_ref, Q_s, R_s, A_s, B_s, D_s,
                     u_prev=u_prev, sat=self.sat, du=self.du, unroll=True)
+                if use_ric:
+                    return P, q, lb, ub, w, M, X_ref, U_ref, A_s, B_s
                 return P, q, lb, ub, w, M, X_ref, U_ref
 
-            P, q, lb, ub, w, M, X_ref, U_ref = jax.vmap(pre)(carry, s, plants, model)
+            pre_out = jax.vmap(pre)(carry, s, plants, model)
+            P, q, lb, ub, w, M, X_ref, U_ref = pre_out[:8]
             # warm start from the current guess, time-major like condense
             Ug = s[1]
             U_warm = jnp.swapaxes(Ug, 1, 2).reshape(Ug.shape[0], -1)
@@ -412,6 +426,18 @@ class HostLoopMPC:
             extra = {} if kind == "small" else {
                 "unroll_iters": kind == "big_unroll",
                 "ns_iters": int(qp.ns_iters)}
+            if use_ric:
+                from ..solvers.riccati import embed_costs, embed_ltv
+
+                A_s_b, B_s_b = pre_out[8], pre_out[9]
+                Ar_b, Br_b = jax.vmap(embed_ltv)(A_s_b, B_s_b)
+                Qr_s, Rr_s = embed_costs(Q_s, R_s)
+                f32 = lambda a: jnp.asarray(a, jnp.float32)
+                extra["lqr_data"] = (f32(Ar_b), f32(Br_b),
+                                     f32(Qr_s), f32(Rr_s))
+                extra["ns_polish"] = int(qp.ns_polish)
+                extra["ns_refresh"] = int(qp.ns_refresh)
+                extra["lqr_unroll"] = bool(qp.unroll)
             # K-inverse carry (MPCConfig.qp_warm_kinv, steady programs only -
             # the carry-enabled program variants pass kinv0/want_kinv): warm-
             # started NS refresh in place of the cold inverse chain. Left off

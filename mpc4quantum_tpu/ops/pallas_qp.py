@@ -459,7 +459,8 @@ def _admm_iters_lanes(Kinv, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l,
                                              "eps_abs", "eps_rel",
                                              "acc_abs", "acc_rel",
                                              "unroll_iters", "scale",
-                                             "ns_refresh", "ns_guard"))
+                                             "ns_refresh", "ns_guard",
+                                             "ns_polish", "lqr_unroll"))
 def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      rho_scale: float = 0.1, sigma: float = 1e-6,
                      alpha: float = 1.6, ns_iters: int = 30,
@@ -469,7 +470,9 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      acc_abs: float = 1e-3, acc_rel: float = 1e-3,
                      unroll_iters: bool = False, scale: bool = False,
                      kinv0=None, ns_refresh: int = 10,
-                     ns_guard: float = 0.9):
+                     ns_guard: float = 0.9,
+                     lqr_data=None, ns_polish: int = 1,
+                     lqr_unroll: bool = True):
     """Batch box-QP solve with the looped large-n kernel.
 
     Same algorithm and acceptance semantics as `boxqp_pallas` and
@@ -499,6 +502,17 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
         kernel's solves at production budgets (experiments/logs/
         r4_ns_share.log: freq 1.7x, drag 2.0x rollout swing over the
         ns_iters range).
+    :param lqr_data: optional (Ar (B, H, m, m), Br (B, H, m, du),
+        Qr (H+1, m, m), Rr (H, du, du)) real-embedded LTV problem whose
+        condensed Hessian is this P (solvers/riccati.embed_ltv/embed_costs;
+        Ar/Br per-lane, costs shared). When given, round 1's K-inverse is
+        computed EXACTLY by the Riccati factorization + `ns_polish` NS
+        cleanup iterations - O(H m^2 (m + n)) small batched matmuls instead
+        of the O(ns_iters n^3) cold NS chain (VERDICT r4 item 2; the
+        measured dominant rollout cost, experiments/logs/r4_ns_share.log).
+        Rounds >= 2 refresh via the rho-shift rescale (`ns_refresh` iters).
+        Takes precedence over kinv0. `lqr_unroll` python-unrolls the two
+        horizon passes (the no-scan chip form, like the condensed assembly).
     :return: (B, n) solutions; with return_aux=True, (x, BoxQPPallasAux).
     """
     P = jnp.asarray(P, jnp.float32)
@@ -554,6 +568,19 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
 
     from ..solvers.boxqp import ns_inverse
 
+    # exact round-1 inverse via the Riccati factorization (computed on the
+    # UNPADDED batch - rho/d_eq exist there; padded lanes then get the
+    # identity, benign exactly as for the kinv0 carry below)
+    kexact = None
+    if lqr_data is not None:
+        from ..solvers.riccati import riccati_kinv_batch
+
+        Ar_b, Br_b, Qr_s, Rr_s = (jnp.asarray(a, jnp.float32)
+                                  for a in lqr_data)
+        kexact = riccati_kinv_batch(Ar_b, Br_b, Qr_s, Rr_s, rho,
+                                    sigma, d=d_eq, unroll=lqr_unroll)
+        kinv0 = None  # exact inverse supersedes the cross-solve carry
+
     # carried-inverse warm start (mirror of solve_boxqp_fixed kinv0): padded
     # lanes get the identity, whose guard residual |1 - (1+sigma+rho)| is
     # within the contraction bound - benign either way
@@ -561,11 +588,22 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     if kinv0 is not None:
         kinv_prev = padm(jnp.asarray(kinv0, jnp.float32))
     rho_prev = None
+    ric_prev = ric_rho = None
 
     lanes = lambda v: v.T  # (Bp, n) -> (n, Bp)
     for rnd in range(rounds):
         K = P_p + (sigma + rho_p)[:, None, None] * eye
-        if kinv_prev is None:
+        if kexact is not None and rnd == 0:
+            Kinv = padm(kexact)
+            for _ in range(ns_polish):
+                Kinv = Kinv @ (2.0 * eye - K @ Kinv)
+            ric_prev, ric_rho = Kinv, rho_p
+        elif kexact is not None:
+            c = jnp.minimum(1.0, (sigma + ric_rho) / (sigma + rho_p))
+            Kinv = ns_inverse(K, iters=ns_refresh,
+                              X0=c[:, None, None] * ric_prev, guard=jnp.inf)
+            ric_prev, ric_rho = Kinv, rho_p
+        elif kinv_prev is None:
             Kinv = ns_inverse(K, iters=ns_iters)
         elif rho_prev is None:
             Kinv = ns_inverse(K, iters=ns_refresh, X0=kinv_prev,

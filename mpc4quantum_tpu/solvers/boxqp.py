@@ -84,6 +84,24 @@ class BoxQPParams:
     # the residual reaches 1e-6 in 7 iterations. 0.9 + refresh 10 absorbs
     # the early-trajectory linearization drift that a 0.5 guard rejects.
     ns_guard: float = struct.field(pytree_node=False, default=0.9)
+    # K-inverse construction for the fixed-iteration solver: "ns" = the
+    # historical cold Newton-Schulz chain (2 * ns_iters serial (n, n)
+    # matmuls); "riccati" = the EXACT inverse from one LQR/Riccati
+    # factorization of the un-condensed LTV problem (solvers/riccati.py) -
+    # O(H m^2 (m + n)) batched small matmuls instead of O(ns_iters n^3),
+    # the complexity-class change for large-n condensed QPs (VERDICT r4
+    # item 2; the NS chain is the measured dominant rollout cost of the
+    # big-kernel presets, experiments/logs/r4_ns_share.log). Requires the
+    # caller to supply `lqr_data` (quad_program builds it from the same
+    # A_s/B_s/Q_s/R_s that built P); falls back to "ns" when absent.
+    # Rounds >= 2 refresh from the round-1 exact inverse via the
+    # provably-contracting rho-shift rescale (ns_refresh iterations).
+    kinv: str = struct.field(pytree_node=False, default="ns")
+    # Newton-Schulz polish iterations applied to the Riccati exact inverse
+    # (quadratic cleanup of f32 accumulation over long horizons; exact
+    # arithmetic needs 0). 1 iteration squares the residual - measured
+    # ~1e-5 -> <1e-9 on captured preset QPs in f32.
+    ns_polish: int = struct.field(pytree_node=False, default=1)
     # Jacobi (diagonal) equilibration: solve the QP in x' = x / d with
     # d = diag(P)^-1/2, the cheap core of OSQP's Ruiz scaling (which the
     # reference always ran through CVXPY). The condensed P's diagonal spans
@@ -312,7 +330,8 @@ def ns_inverse(K, iters: int = 30, X0=None, guard: float = 0.5):
 
 def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
                       unroll: bool | None = None, ns_iters: int | None = None,
-                      y0=None, rho0=None, kinv0=None) -> BoxQPResult:
+                      y0=None, rho0=None, kinv0=None,
+                      lqr_data=None) -> BoxQPResult:
     """ADMM box-QP with a FIXED iteration schedule and a Newton-Schulz
     inverse in place of the Cholesky factorization.
 
@@ -338,6 +357,13 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         within a solve, so eigenvalues of K_new X0 then lie in (0, 1]).
         None = cold full-ns_iters inverses (the historical program,
         bit-identical).
+    :param lqr_data: optional (Ar (H, m, m), Br (H, m, du), Qr (H+1, m, m),
+        Rr (H, du, du)) real-embedded LTV problem whose condensed Hessian is
+        this P (solvers/riccati.embed_ltv / embed_costs). With
+        params.kinv == "riccati" the round-1 K-inverse is computed EXACTLY
+        by the Riccati factorization (+ params.ns_polish NS cleanup
+        iterations) instead of the cold Newton-Schulz chain; later rounds
+        refresh via the rho-shift rescale. Takes precedence over kinv0.
     """
     if params is None:
         params = BoxQPParams()
@@ -368,11 +394,32 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         eps_dual = params.eps_abs + params.eps_rel * dmax
         return prim, dual, eps_prim, eps_dual, xmax, dmax
 
+    use_riccati = lqr_data is not None and params.kinv == "riccati"
+    if use_riccati:
+        kinv0 = None  # exact round-1 inverse: the cross-solve carry is moot
     kinv_prev = None if kinv0 is None else jnp.asarray(kinv0, dtype)
     rho_prev = None
+    ric_prev = ric_rho = None
     for _round in range(params.n_rounds):
         K = P + (sigma + rho) * eye
-        if kinv_prev is None:
+        if use_riccati and _round == 0:
+            from .riccati import riccati_kinv_shifted
+
+            Ar, Br, Qr, Rr = (jnp.asarray(a, dtype) for a in lqr_data)
+            Kinv = riccati_kinv_shifted(Ar, Br, Qr, Rr, rho, sigma,
+                                        d=d_eq, unroll=unroll)
+            for _ in range(params.ns_polish):
+                Kinv = Kinv @ (2.0 * eye - K @ Kinv)
+            ric_prev, ric_rho = Kinv, rho
+        elif use_riccati:
+            # rounds >= 2: K differs from round 1's by (rho - rho_1) I -
+            # refresh from the rescaled exact inverse (same provably-
+            # contracting form as the intra-solve kinv0 path below)
+            c = jnp.minimum(1.0, (sigma + ric_rho) / (sigma + rho))
+            Kinv = ns_inverse(K, iters=params.ns_refresh,
+                              X0=c * ric_prev, guard=jnp.inf)
+            ric_prev, ric_rho = Kinv, rho
+        elif kinv_prev is None:
             Kinv = ns_inverse(K, iters=ns_iters)
         elif rho_prev is None:
             # cross-solve warm start: K drifted by the linearization delta -

@@ -199,8 +199,19 @@ def quad_program(
                                  unroll=(backend == "ns"))
     x0 = None if U_warm is None else U_warm.T.reshape(-1).astype(P.dtype)
     if backend == "ns":
+        lqr_data = None
+        if params is not None and params.kinv == "riccati":
+            # exact K-inverse via the Riccati factorization of the SAME LTV
+            # data that built P (solvers/riccati.py; VERDICT r4 item 2)
+            from .riccati import embed_costs, embed_ltv
+
+            Ar, Br = embed_ltv(A_s, B_s)
+            Qr, Rr = embed_costs(Q_s, R_s)
+            rdt = P.dtype
+            lqr_data = (Ar.astype(rdt), Br.astype(rdt),
+                        Qr.astype(rdt), Rr.astype(rdt))
         res = solve_boxqp_fixed(P, q, lb, ub, x0=x0, params=params,
-                                y0=Y_warm, rho0=rho_warm)
+                                y0=Y_warm, rho0=rho_warm, lqr_data=lqr_data)
     else:
         res = solve_boxqp(P, q, lb, ub, x0=x0, params=params,
                           y0=Y_warm, rho0=rho_warm)
