@@ -171,6 +171,7 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        qp_kernel: str = "auto",
                        lqr_seed: bool | None = None,
                        warm_kinv: bool | None = None,
+                       kinv: str | None = None,
                        checkpoint_path: str | None = None,
                        checkpoint_every: int = 0,
                        progress_every: int = 0,
@@ -193,6 +194,12 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         (PRESET_STEADY_BUDGET "warm_kinv"); True/False force the steady
         K-inverse carry (MPCConfig.qp_warm_kinv - big-kernel presets only,
         inert on small-kernel/n<=16 scenarios).
+    :param kinv: None = the preset's swept production default
+        (PRESET_STEADY_BUDGET "kinv", falling back to the library "ns");
+        "ns"/"riccati" force the K-inverse construction
+        (BoxQPParams.kinv) in BOTH phases - the warm phase's cold-rho
+        inverses and the steady chain use the same mechanism
+        (solvers/riccati.py; inert on small-kernel/n<=16 scenarios).
     :param warm_duals: None = the production default (dual warm-starting
         with the preset's swept steady budget where PRESET_STEADY_BUDGET
         has an entry, cold otherwise); True/False force it (False = the
@@ -332,6 +339,16 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         wi = 15 if (sc.name == "lindblad_state" or not warm_duals) else 12
         cfg = dataclasses.replace(
             cfg, qp_params=cfg.qp_params.replace(max_iter=wi, n_rounds=3))
+    if kinv is None:
+        kinv = tuned_entry.get("kinv")
+    if kinv is not None:
+        # K-inverse construction (BoxQPParams.kinv, solvers/riccati.py):
+        # applied to both phases - warm cold-rho inverses and the steady
+        # chain replace the NS chain with the exact Riccati factorization
+        cfg = dataclasses.replace(
+            cfg, qp_params=cfg.qp_params.replace(kinv=kinv))
+        if steady_qp_params is not None:
+            steady_qp_params = steady_qp_params.replace(kinv=kinv)
     runner = HostLoopMPC(
         cfg, sc.sat, du=sc.du, plant_step_fn=step_fn,
         lift_fn=sc.lift_fn, proj_fn=sc.proj_fn,
