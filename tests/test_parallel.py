@@ -87,9 +87,14 @@ def test_sharded_matches_batched():
                         config, sat, keys=keys)
     res_s = sharded_mpc(mesh, jnp.asarray(rho0), model, plants, X_targ, U_targ, Q, R, Qf,
                         config, sat, keys=keys)
-    np.testing.assert_allclose(np.asarray(res_s.us), np.asarray(res_b.us), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(res_s.xs), np.asarray(res_b.xs), atol=1e-10)
+    # numerical equality, not mere closeness (VERDICT r4 item 4a): each lane
+    # is an independent rollout, so sharding may not change the math at all -
+    # x64 tolerance 1e-12 on the full trajectory
+    np.testing.assert_allclose(np.asarray(res_s.us), np.asarray(res_b.us), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res_s.xs), np.asarray(res_b.xs), atol=1e-12)
     np.testing.assert_array_equal(np.asarray(res_s.exit_code), np.asarray(res_b.exit_code))
+    np.testing.assert_array_equal(np.asarray(res_s.n_valid), np.asarray(res_b.n_valid))
+    np.testing.assert_allclose(np.asarray(res_s.objs), np.asarray(res_b.objs), atol=1e-12)
 
 
 def test_sharded_summary_uses_collectives_and_matches_gathered():
