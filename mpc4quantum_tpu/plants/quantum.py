@@ -263,30 +263,58 @@ def quantum_observe(plant: QuantumPlant, x, key=None):
 
 
 def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None, use_pallas: bool = False,
-                     pallas_interpret: bool = False):
+                     pallas_interpret: bool = False, interp: str = "zoh",
+                     substeps: int = 16):
     """Propagate over a control trajectory, returning all intermediate states.
 
     :param x0: (d^2,) vec(rho) initial state.
-    :param us: (dim_u, n) ZOH controls.
+    :param us: (dim_u, n) controls.
     :param key: optional PRNG key; when given, adds complex Gaussian
         measurement noise of scale sigma to the returned trajectory
         (reference experiment.py:212).
     :param use_pallas: compute the per-step propagators with the fused
         batch-on-lanes Pallas kernel (ops/pallas_expm.py) instead of the XLA
         Pade path - the hot-op kernel for large step batches on TPU.
+    :param interp: control stitching between samples. "zoh" (piecewise
+        constant, the engine-wide convention - exact, one propagator per
+        step) or "linear" (the reference QExperiment's arbitrary-interp1d
+        control option, reference experiment.py:87, with kind='linear':
+        each step interpolates u_k -> u_{k+1}, the last segment holding
+        u_{n-1} like the classical plants, plants/classical.py). Linear
+        drives have no closed-form propagator; each step is split into
+        `substeps` sub-segments propagated at the sub-segment MIDPOINT
+        control (exponential midpoint rule) - error O((dt/substeps)^2) per
+        step against the true time-ordered propagator, still exactly
+        unitary and batched on the MXU.
+    :param substeps: sub-segments per step for interp="linear".
     :return: (d^2, n+1) states including x0 - or, when the plant has e_ops
         configured, the (n_e, n+1) expectation-value trajectory (reference
         experiment.py:210-211 `res.expect` mode), noise applied in
         observation space.
     """
+    if interp not in ("zoh", "linear"):
+        raise ValueError(f"interp={interp!r}: 'zoh' or 'linear'")
     d = plant.dim_s
-    Hs = step_generators(plant.H0, plant.H1s, us)
+    if interp == "linear":
+        S = int(substeps)
+        us = jnp.asarray(us)
+        us_next = jnp.concatenate([us[:, 1:], us[:, -1:]], axis=1)
+        # midpoint control of each sub-segment of the linear ramp
+        frac = (jnp.arange(S, dtype=jnp.float64 if us.real.dtype ==
+                           jnp.float64 else jnp.float32) + 0.5) / S
+        u_sub = us[:, :, None] + (us_next - us)[:, :, None] * frac[None, None, :]
+        u_eff = u_sub.reshape(us.shape[0], -1)  # (dim_u, n*S) time-major
+        dt_eff = dt / S
+    else:
+        S = 1
+        u_eff, dt_eff = us, dt
+    Hs = step_generators(plant.H0, plant.H1s, u_eff)
     if use_pallas:
         from .. import ops  # local import to keep pallas optional
 
-        Us = ops.pallas_expm.expm_pallas((-1j * dt) * Hs, interpret=pallas_interpret)
+        Us = ops.pallas_expm.expm_pallas((-1j * dt_eff) * Hs, interpret=pallas_interpret)
     else:
-        Us = expm_pade((-1j * dt) * Hs)  # (n, d, d) batched on MXU
+        Us = expm_pade((-1j * dt_eff) * Hs)  # (n, d, d) batched on MXU
 
     def step(rho, U):
         rho_n = U @ rho @ U.conj().T
@@ -294,6 +322,8 @@ def quantum_simulate(plant: QuantumPlant, x0, us, dt, key=None, use_pallas: bool
 
     rho0 = x0.reshape(d, d).astype(Us.dtype)
     _, rhos = jax.lax.scan(step, rho0, Us)
+    if S > 1:
+        rhos = rhos[S - 1 :: S]  # keep the per-step samples only
     xs = jnp.concatenate([rho0.reshape(1, -1), rhos.reshape(rhos.shape[0], -1)], axis=0).T
     if plant.e_obs is not None:
         xs = quantum_expectations(plant, xs)

@@ -62,6 +62,57 @@ def test_quantum_simulate_matches_ode():
     np.testing.assert_allclose(xs, sol.y, atol=1e-6)
 
 
+def test_quantum_simulate_linear_interp_matches_ode():
+    """interp='linear' (reference experiment.py:87 interp1d kind='linear'
+    control stitching into mesolve) vs scipy integration of the master
+    equation under the SAME linearly-interpolated drive, plus: second-order
+    substep convergence, and exact collapse to the ZOH path on a constant
+    drive."""
+    H0 = 0.3 * SZ
+    H1 = 0.5 * SX
+    plant = QuantumPlant.create(H0, [H1])
+    dt = 0.4
+    n = 10
+    rng = np.random.default_rng(1)
+    us = rng.normal(size=(1, n))
+    rho0 = random_dm(rng, 2)
+
+    def rhs(t, y):
+        rho = y.reshape(2, 2)
+        k = min(int(t / dt), n - 1)
+        u0 = us[0, k]
+        u1 = us[0, min(k + 1, n - 1)]  # last segment holds u_{n-1}
+        u = u0 + (u1 - u0) * (t / dt - k)
+        H = H0 + u * H1
+        return (-1j * (H @ rho - rho @ H)).flatten()
+
+    sol = scipy.integrate.solve_ivp(rhs, [0, n * dt], rho0.flatten(),
+                                    t_eval=np.arange(n + 1) * dt,
+                                    rtol=1e-11, atol=1e-13)
+
+    errs = {}
+    for S in (8, 16, 32):
+        xs = np.asarray(quantum_simulate(plant, jnp.asarray(rho0.flatten()),
+                                         jnp.asarray(us), dt,
+                                         interp="linear", substeps=S))
+        errs[S] = np.max(np.abs(xs - sol.y))
+        # trace/unitarity preserved exactly by construction
+        tr = xs.reshape(2, 2, n + 1)[(0, 1), (0, 1), :].sum(axis=0)
+        np.testing.assert_allclose(tr, 1.0, atol=1e-12)
+    assert errs[32] < 1e-5, errs
+    # exponential-midpoint rule: O(substeps^-2) convergence
+    assert errs[8] / errs[32] > 8.0, errs
+
+    # a constant drive makes linear == zoh exactly (same propagator chain)
+    uc = np.full((1, n), 0.37)
+    x_lin = np.asarray(quantum_simulate(plant, jnp.asarray(rho0.flatten()),
+                                        jnp.asarray(uc), dt,
+                                        interp="linear", substeps=4))
+    x_zoh = np.asarray(quantum_simulate(plant, jnp.asarray(rho0.flatten()),
+                                        jnp.asarray(uc), dt))
+    np.testing.assert_allclose(x_lin, x_zoh, atol=1e-12)
+
+
 def test_quantum_simulate_preserves_trace_and_hermiticity():
     plant = QuantumPlant.create(0.1 * SZ, [0.5 * SX, 0.5 * SY])
     rng = np.random.default_rng(1)
