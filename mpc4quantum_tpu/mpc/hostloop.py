@@ -381,7 +381,8 @@ class HostLoopMPC:
             n_qp_static = cfgH * self.config.dim_u
             kind_res = (self.qp_kernel if self.qp_kernel != "auto"
                         else ("small" if n_qp_static <= 16 else "big"))
-            use_ric = (kind_res != "small" and qp.kinv == "riccati")
+            use_ric = (kind_res != "small"
+                       and qp.kinv in ("riccati", "riccati_pscan"))
 
             def pre(c, si, p, m):
                 X_ref, U_ref, bm, lift_x, u_prev, _ = step_fn.context(
@@ -426,6 +427,11 @@ class HostLoopMPC:
             extra = {} if kind == "small" else {
                 "unroll_iters": kind == "big_unroll",
                 "ns_iters": int(qp.ns_iters)}
+            if kind != "small" and qp.kinv == "gj":
+                # exact Gauss-Jordan K-inverse outside the kernel
+                # (utils/linalg.gj_inverse): kills the kernels' measured
+                # per-solve fixed cost (experiments/logs/r5_roofline.log)
+                extra["kinv_method"] = "gj"
             if use_ric:
                 from ..solvers.riccati import embed_costs, embed_ltv
 
@@ -438,6 +444,7 @@ class HostLoopMPC:
                 extra["ns_polish"] = int(qp.ns_polish)
                 extra["ns_refresh"] = int(qp.ns_refresh)
                 extra["lqr_unroll"] = bool(qp.unroll)
+                extra["lqr_pscan"] = qp.kinv == "riccati_pscan"
             # K-inverse carry (MPCConfig.qp_warm_kinv, steady programs only -
             # the carry-enabled program variants pass kinv0/want_kinv): warm-
             # started NS refresh in place of the cold inverse chain. Left off

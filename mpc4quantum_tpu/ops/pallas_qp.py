@@ -460,7 +460,8 @@ def _admm_iters_lanes(Kinv, q_l, lb_l, ub_l, rho_l, x_l, z_l, y_l,
                                              "acc_abs", "acc_rel",
                                              "unroll_iters", "scale",
                                              "ns_refresh", "ns_guard",
-                                             "ns_polish", "lqr_unroll"))
+                                             "ns_polish", "lqr_unroll",
+                                             "lqr_pscan", "kinv_method"))
 def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      rho_scale: float = 0.1, sigma: float = 1e-6,
                      alpha: float = 1.6, ns_iters: int = 30,
@@ -472,7 +473,8 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
                      kinv0=None, ns_refresh: int = 10,
                      ns_guard: float = 0.9,
                      lqr_data=None, ns_polish: int = 1,
-                     lqr_unroll: bool = True):
+                     lqr_unroll: bool = True, lqr_pscan: bool = False,
+                     kinv_method: str = "ns"):
     """Batch box-QP solve with the looped large-n kernel.
 
     Same algorithm and acceptance semantics as `boxqp_pallas` and
@@ -512,7 +514,9 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
         measured dominant rollout cost, experiments/logs/r4_ns_share.log).
         Rounds >= 2 refresh via the rho-shift rescale (`ns_refresh` iters).
         Takes precedence over kinv0. `lqr_unroll` python-unrolls the two
-        horizon passes (the no-scan chip form, like the condensed assembly).
+        horizon passes (the no-scan chip form, like the condensed assembly);
+        `lqr_pscan` uses the O(log H)-depth associative-scan factorization
+        instead (solvers/riccati.riccati_kinv_pscan).
     :return: (B, n) solutions; with return_aux=True, (x, BoxQPPallasAux).
     """
     P = jnp.asarray(P, jnp.float32)
@@ -578,7 +582,8 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
         Ar_b, Br_b, Qr_s, Rr_s = (jnp.asarray(a, jnp.float32)
                                   for a in lqr_data)
         kexact = riccati_kinv_batch(Ar_b, Br_b, Qr_s, Rr_s, rho,
-                                    sigma, d=d_eq, unroll=lqr_unroll)
+                                    sigma, d=d_eq, unroll=lqr_unroll,
+                                    pscan=lqr_pscan)
         kinv0 = None  # exact inverse supersedes the cross-solve carry
 
     # carried-inverse warm start (mirror of solve_boxqp_fixed kinv0): padded
@@ -593,7 +598,15 @@ def boxqp_pallas_big(P, q, lb, ub, x0=None, iters: int = 60, rounds: int = 1,
     lanes = lambda v: v.T  # (Bp, n) -> (n, Bp)
     for rnd in range(rounds):
         K = P_p + (sigma + rho_p)[:, None, None] * eye
-        if kexact is not None and rnd == 0:
+        if kinv_method == "gj":
+            # exact matrix-form Gauss-Jordan inverse every round: O(n)
+            # whole-tensor ops, no NS chain and no carry bookkeeping
+            # (experiments/logs/r5_roofline.log - the inverse is the
+            # kernels' measured fixed cost, not the ADMM iterations)
+            from ..utils.linalg import gj_inverse
+
+            Kinv = gj_inverse(K)
+        elif kexact is not None and rnd == 0:
             Kinv = padm(kexact)
             for _ in range(ns_polish):
                 Kinv = Kinv @ (2.0 * eye - K @ Kinv)

@@ -91,11 +91,15 @@ class BoxQPParams:
     # O(H m^2 (m + n)) batched small matmuls instead of O(ns_iters n^3),
     # the complexity-class change for large-n condensed QPs (VERDICT r4
     # item 2; the NS chain is the measured dominant rollout cost of the
-    # big-kernel presets, experiments/logs/r4_ns_share.log). Requires the
-    # caller to supply `lqr_data` (quad_program builds it from the same
-    # A_s/B_s/Q_s/R_s that built P); falls back to "ns" when absent.
-    # Rounds >= 2 refresh from the round-1 exact inverse via the
-    # provably-contracting rho-shift rescale (ns_refresh iterations).
+    # big-kernel presets, experiments/logs/r4_ns_share.log);
+    # "riccati_pscan" = the same factorization with both horizon passes as
+    # O(log H)-depth associative scans (riccati_kinv_pscan - the sequential
+    # form's depth, not its FLOPs, was the measured chip cost,
+    # experiments/logs/r5_riccati.log). Requires the caller to supply
+    # `lqr_data` (quad_program builds it from the same A_s/B_s/Q_s/R_s that
+    # built P); falls back to "ns" when absent. Rounds >= 2 refresh from
+    # the round-1 exact inverse via the provably-contracting rho-shift
+    # rescale (ns_refresh iterations).
     kinv: str = struct.field(pytree_node=False, default="ns")
     # Newton-Schulz polish iterations applied to the Riccati exact inverse
     # (quadratic cleanup of f32 accumulation over long horizons; exact
@@ -394,20 +398,31 @@ def solve_boxqp_fixed(P, q, lb, ub, x0=None, params: BoxQPParams | None = None,
         eps_dual = params.eps_abs + params.eps_rel * dmax
         return prim, dual, eps_prim, eps_dual, xmax, dmax
 
-    use_riccati = lqr_data is not None and params.kinv == "riccati"
-    if use_riccati:
-        kinv0 = None  # exact round-1 inverse: the cross-solve carry is moot
+    use_riccati = (lqr_data is not None
+                   and params.kinv in ("riccati", "riccati_pscan"))
+    use_gj = params.kinv == "gj"
+    if use_riccati or use_gj:
+        kinv0 = None  # exact inverses: the cross-solve carry is moot
     kinv_prev = None if kinv0 is None else jnp.asarray(kinv0, dtype)
     rho_prev = None
     ric_prev = ric_rho = None
     for _round in range(params.n_rounds):
         K = P + (sigma + rho) * eye
-        if use_riccati and _round == 0:
+        if use_gj:
+            # exact inverse by matrix-form unpivoted Gauss-Jordan: O(n)
+            # whole-tensor ops per round instead of the 2*ns_iters-matmul
+            # NS chain (the measured fixed cost of the small-kernel
+            # presets, experiments/logs/r5_roofline.log)
+            from ..utils.linalg import gj_inverse
+
+            Kinv = gj_inverse(K)
+        elif use_riccati and _round == 0:
             from .riccati import riccati_kinv_shifted
 
             Ar, Br, Qr, Rr = (jnp.asarray(a, dtype) for a in lqr_data)
             Kinv = riccati_kinv_shifted(Ar, Br, Qr, Rr, rho, sigma,
-                                        d=d_eq, unroll=unroll)
+                                        d=d_eq, unroll=unroll,
+                                        pscan=params.kinv == "riccati_pscan")
             for _ in range(params.ns_polish):
                 Kinv = Kinv @ (2.0 * eye - K @ Kinv)
             ric_prev, ric_rho = Kinv, rho

@@ -200,7 +200,7 @@ def quad_program(
     x0 = None if U_warm is None else U_warm.T.reshape(-1).astype(P.dtype)
     if backend == "ns":
         lqr_data = None
-        if params is not None and params.kinv == "riccati":
+        if params is not None and params.kinv in ("riccati", "riccati_pscan"):
             # exact K-inverse via the Riccati factorization of the SAME LTV
             # data that built P (solvers/riccati.py; VERDICT r4 item 2)
             from .riccati import embed_costs, embed_ltv

@@ -186,8 +186,121 @@ def riccati_kinv(Ar, Br, Qr, Rr, unroll: bool = False):
     return 0.5 * (Kinv + Kinv.T)
 
 
+def _inv_gj(M):
+    """Unpivoted Gauss-Jordan inverse of a general (.., m, m) matrix in
+    MATRIX form: m serial column-elimination steps of whole-matrix
+    elementwise ops (static one-hot masks, no scatter, no factorization
+    primitive - batches on any TPU backend path, and the trace stays
+    O(m) ops instead of `_inv_small`'s O(m^3) scalar decomposition).
+
+    Used for the parallel combine's (I + C1 J2) factor, whose spectrum
+    lies in [1, inf) (product of PSD matrices has non-negative real
+    eigenvalues), so the unpivoted elimination is well-conditioned on the
+    QP data.
+    """
+    from ..utils.linalg import gj_inverse
+
+    return gj_inverse(M)
+
+
+def riccati_kinv_pscan(Ar, Br, Qr, Rr):
+    """`riccati_kinv` with BOTH horizon passes as associative scans.
+
+    The sequential recursion is a depth-H chain of tiny matmuls - the
+    measured chip cost of the factorization is its DEPTH, not its FLOPs
+    (experiments/logs/r5_riccati.log: exact serial Riccati is 0.89-0.93x
+    the NS chain at rollout level on every big-kernel preset). This form
+    cuts the chain to O(log H) levels of (H-batched) small matmuls, the
+    temporal-parallelization-of-LQT construction (Sarkka &
+    Garcia-Fernandez's associative-scan smoothers, applied to the same
+    conditional-value-function elements):
+
+      element e_k  ~  V_k(x, z) = (z - A x - b)^T C^+ (z - A x - b)
+                                   + x^T J x - 2 eta^T x
+      init    A=A_k, b=B_k R_k^-1 W_k, C=B_k R_k^-1 B_k^T, J=Q_k, eta=0
+      combine (suffix scan, e1 earlier):
+        D  = (I + C1 J2)^-1
+        A  = A2 D A1                 b = A2 D (b1 + C1 eta2) + b2
+        C  = A2 D C1 A2^T + C2     eta = A1^T D^T (eta2 - J2 b1) + eta1
+        J  = A1^T D^T J2 A1 + J1
+
+    The suffix element at k+1 gives the value function (J, eta) ahead of
+    step k, from which the feedback (F_k, f_k) follows pointwise; the
+    forward rollout of x_{k+1} = (A_k + B_k F_k) x_k + B_k f_k is a second
+    associative scan over affine maps. All combines are (H,)-batched
+    (m, m)/(m, n) matmuls; the only inverses are the du-sized Huu and the
+    m-sized D (unpivoted Gauss-Jordan, elementwise - no LU/Cholesky
+    primitive, so it batches on the axon backend).
+
+    Same contract as `riccati_kinv` (Rr includes every diagonal shift);
+    bit-comparable to ~f32 rounding, exact at x64.
+    """
+    H, m, du = Br.shape
+    n = H * du
+    dtype = Ar.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+    W = eye_n.reshape(H, du, n)
+    T = lambda M: jnp.swapaxes(M, -1, -2)
+
+    Rinv = _inv_small(Rr)                    # (H, du, du)
+    BRi = Br @ Rinv                          # (H, m, du)
+    zeros_mn = jnp.zeros((1, m, n), dtype)
+    A_e = jnp.concatenate([Ar, jnp.zeros((1, m, m), dtype)], axis=0)
+    b_e = jnp.concatenate([BRi @ W, zeros_mn], axis=0)
+    C_e = jnp.concatenate([BRi @ T(Br), jnp.zeros((1, m, m), dtype)], axis=0)
+    eta_e = jnp.concatenate([jnp.zeros((H, m, n), dtype), zeros_mn], axis=0)
+    J_e = Qr  # (H+1, m, m), terminal at H
+
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    def combine(e1, e2):
+        # e1 precedes e2 in time; element order (A, b, C, eta, J)
+        A1, b1, C1, h1, J1 = e1
+        A2, b2, C2, h2, J2 = e2
+        D = _inv_gj(eye_m + C1 @ J2)
+        Dt = T(D)  # inv(I + J2 C1): C1/J2 symmetric
+        A2D = A2 @ D
+        A1tDt = T(A1) @ Dt
+        A = A2D @ A1
+        b = A2D @ (b1 + C1 @ h2) + b2
+        C = A2D @ (C1 @ T(A2)) + C2
+        eta = A1tDt @ (h2 - J2 @ b1) + h1
+        J = A1tDt @ (J2 @ A1) + J1
+        return (A, b, 0.5 * (C + T(C)), eta, 0.5 * (J + T(J)))
+
+    # suffix scan S_k = e_k (x) ... (x) e_H. reverse=True flips the array,
+    # scans, and flips back - the operator therefore receives its operands
+    # LATER-first (measured: affine-composition probe), so swap into
+    # combine's (earlier, later) time order.
+    elems = (A_e, b_e, C_e, eta_e, J_e)
+    S = jax.lax.associative_scan(lambda a, b: combine(b, a), elems,
+                                 reverse=True, axis=0)
+    hs, Js = S[3][1:], S[4][1:]              # value fn ahead of step k
+
+    BtJ = T(Br) @ Js                          # (H, du, m)
+    Huu = Rr + BtJ @ Br
+    Hinv = _inv_small(Huu)
+    F = -(Hinv @ (BtJ @ Ar))                  # (H, du, m)
+    f = Hinv @ (W + T(Br) @ hs)               # (H, du, n)
+
+    # forward: x_{k+1} = M_k x_k + d_k, x_0 = 0 - prefix affine scan
+    M = Ar + Br @ F
+    dvec = Br @ f
+
+    def acomp(c1, c2):
+        M1, d1 = c1
+        M2, d2 = c2
+        return (M2 @ M1, M2 @ d1 + d2)
+
+    Mp, dp = jax.lax.associative_scan(acomp, (M, dvec), axis=0)
+    xs = jnp.concatenate([jnp.zeros((1, m, n), dtype), dp[:-1]], axis=0)
+    U = F @ xs + f                            # (H, du, n)
+    Kinv = U.reshape(n, n)
+    return 0.5 * (Kinv + Kinv.T)
+
+
 def riccati_kinv_shifted(Ar, Br, Qr, Rr, rho, sigma, d=None,
-                         unroll: bool = False):
+                         unroll: bool = False, pscan: bool = False):
     """K^-1 of the (optionally Jacobi-scaled) shifted condensed Hessian.
 
     Absorbs the solver-side transforms into the LQR data and calls
@@ -199,6 +312,8 @@ def riccati_kinv_shifted(Ar, Br, Qr, Rr, rho, sigma, d=None,
 
     :param rho: scalar resolved penalty (the value the ADMM round runs at).
     :param d: optional (n,) Jacobi weights, time-major; None = unscaled.
+    :param pscan: use the O(log H)-depth associative-scan form
+        (`riccati_kinv_pscan`) instead of the depth-H sequential recursion.
     :return: (n, n) exact inverse of  D P D + (sigma + rho) I  (or of
         P + (sigma + rho) I when d is None), P the symmetrized condensed
         Hessian of (Ar, Br, Qr, Rr).
@@ -210,11 +325,13 @@ def riccati_kinv_shifted(Ar, Br, Qr, Rr, rho, sigma, d=None,
         Br = Br * dt[:, None, :]
         Rr = Rr * dt[:, :, None] * dt[:, None, :]
     Rr_tot = Rr + shift[None, :, :]
+    if pscan:
+        return riccati_kinv_pscan(Ar, Br, Qr, Rr_tot)
     return riccati_kinv(Ar, Br, Qr, Rr_tot, unroll=unroll)
 
 
 def riccati_kinv_batch(Ar, Br, Qr, Rr, rho, sigma, d=None,
-                       unroll: bool = False):
+                       unroll: bool = False, pscan: bool = False):
     """Lane-batched `riccati_kinv_shifted`.
 
     :param Ar: (B, H, m, m); :param Br: (B, H, m, du) - per-lane dynamics.
@@ -223,7 +340,7 @@ def riccati_kinv_batch(Ar, Br, Qr, Rr, rho, sigma, d=None,
     :return: (B, n, n).
     """
     fn = lambda a, b, r, dd: riccati_kinv_shifted(
-        a, b, Qr, Rr, r, sigma, d=dd, unroll=unroll)
+        a, b, Qr, Rr, r, sigma, d=dd, unroll=unroll, pscan=pscan)
     if d is None:
         return jax.vmap(lambda a, b, r: fn(a, b, r, None))(Ar, Br, rho)
     return jax.vmap(fn)(Ar, Br, rho, d)

@@ -107,3 +107,35 @@ def split_blocks(bmatrix, nrows: int, ncols: int):
         .swapaxes(1, 2)
         .reshape(-1, nrows, ncols)
     )
+
+
+def gj_inverse(K):
+    """Exact inverse of a batched (.., n, n) matrix by unpivoted
+    Gauss-Jordan in MATRIX form: n serial column-elimination steps of
+    whole-tensor elementwise ops (static one-hot row masks, no scatter, no
+    LU/Cholesky primitive - batches on the axon TPU backend, where
+    factorization lowerings are unavailable under vmap).
+
+    Trace size is O(n) ops (vs the O(n^3) scalar-decomposed form the small
+    Pallas QP kernel uses in-kernel, and vs the 2*ns_iters (n, n)-matmul
+    Newton-Schulz chain) - measured as the cheap exact inverse for the
+    condensed MPC Hessians K = P + (sigma + rho) I, whose rho shift makes
+    the unpivoted elimination well-conditioned (SPD, bounded diagonal
+    growth).
+    """
+    import numpy as _np
+
+    n = K.shape[-1]
+    if n == 1:
+        return 1.0 / K
+    Inv = jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), K.shape)
+    for col in range(n):
+        rowmask = _np.zeros((n, 1), bool)
+        rowmask[col] = True
+        piv = 1.0 / K[..., col:col + 1, col:col + 1]
+        prow_K = K[..., col:col + 1, :] * piv
+        prow_I = Inv[..., col:col + 1, :] * piv
+        fac = K[..., :, col:col + 1]
+        K = jnp.where(rowmask, prow_K, K - fac * prow_K)
+        Inv = jnp.where(rowmask, prow_I, Inv - fac * prow_I)
+    return Inv

@@ -19,7 +19,8 @@ from mpc4quantum_tpu.ops.bilinear import BilinearModel, model_along_traj
 from mpc4quantum_tpu.solvers.boxqp import BoxQPParams, ns_inverse, solve_boxqp_fixed
 from mpc4quantum_tpu.solvers.condense import qp_data, quad_program
 from mpc4quantum_tpu.solvers.riccati import (
-    embed_costs, embed_ltv, riccati_kinv_shifted, riccati_kinv_batch)
+    embed_costs, embed_ltv, riccati_kinv, riccati_kinv_pscan,
+    riccati_kinv_shifted, riccati_kinv_batch)
 
 
 def _random_ltv(rng, H, dx, du, singular_q=True):
@@ -76,6 +77,98 @@ def test_riccati_exact_inverse(H, dx, du):
     Kinv_s = np.asarray(riccati_kinv_shifted(Ar, Br, Qr, Rr, rho, sigma,
                                              d=jnp.asarray(d)))
     assert np.max(np.abs(np.eye(n) - Ks @ Kinv_s)) < 1e-9
+
+
+@pytest.mark.parametrize("H,dx,du", [(1, 2, 2), (2, 2, 1), (5, 3, 2),
+                                     (50, 2, 1), (16, 9, 2)])
+def test_riccati_pscan_matches_sequential(H, dx, du):
+    """The O(log H)-depth associative-scan factorization equals the
+    sequential recursion to machine precision (x64), including non-power-
+    of-two horizons, singular Q steps, and the Jacobi-scaled wrapper."""
+    rng = np.random.default_rng(4)
+    A_s, B_s, D_s, x0, Q_s, R_s, X_bm, U_bm = _random_ltv(rng, H, dx, du)
+    Ar, Br = embed_ltv(A_s, B_s)
+    Qr, Rr = embed_costs(Q_s, R_s)
+    Rt = Rr + 0.41 * jnp.eye(du, dtype=Ar.dtype)[None]
+    k_seq = np.asarray(riccati_kinv(Ar, Br, Qr, Rt))
+    k_par = np.asarray(riccati_kinv_pscan(Ar, Br, Qr, Rt))
+    np.testing.assert_allclose(k_par, k_seq, atol=1e-11)
+    if H >= 2:
+        n = H * du
+        d = jnp.asarray(rng.uniform(0.5, 2.0, n))
+        k_s = np.asarray(riccati_kinv_shifted(Ar, Br, Qr, Rr, 0.7, 1e-6,
+                                              d=d))
+        k_p = np.asarray(riccati_kinv_shifted(Ar, Br, Qr, Rr, 0.7, 1e-6,
+                                              d=d, pscan=True))
+        np.testing.assert_allclose(k_p, k_s, atol=1e-11)
+
+
+def test_boxqp_fixed_riccati_pscan_matches_ns():
+    """solve_boxqp_fixed under kinv='riccati_pscan' reproduces the
+    converged-NS path on the real n=50 preset QP (f32 plumbing end to
+    end, multi-round rho-rebalance included)."""
+    P, q, lb, ub, lqr_data = _preset_qp()
+    base = BoxQPParams(max_iter=40, n_rounds=2, unroll=False, ns_iters=30)
+    r_ns = solve_boxqp_fixed(P, q, lb, ub, params=base)
+    r_p = solve_boxqp_fixed(
+        P, q, lb, ub, params=base.replace(kinv="riccati_pscan", ns_polish=1),
+        lqr_data=lqr_data)
+    assert bool(r_ns.converged) and bool(r_p.converged)
+    np.testing.assert_allclose(np.asarray(r_p.x), np.asarray(r_ns.x),
+                               atol=1e-7)
+
+
+def test_gj_inverse_exact():
+    """utils.linalg.gj_inverse == dense inverse on batched SPD-shifted
+    matrices (the condensed-K regime), x64 machine precision."""
+    from mpc4quantum_tpu.utils.linalg import gj_inverse
+
+    rng = np.random.default_rng(5)
+    for n in (1, 3, 10, 50):
+        W = rng.standard_normal((4, n, n))
+        K = W @ np.swapaxes(W, -1, -2) + 0.3 * np.eye(n)
+        Ki = np.asarray(gj_inverse(jnp.asarray(K)))
+        np.testing.assert_allclose(Ki, np.linalg.inv(K), atol=1e-9)
+
+
+def test_boxqp_fixed_gj_matches_ns():
+    """solve_boxqp_fixed under kinv='gj' (exact matrix-form Gauss-Jordan
+    inverse) reproduces the converged-NS path on the n=50 preset QP."""
+    P, q, lb, ub, _ = _preset_qp()
+    base = BoxQPParams(max_iter=40, n_rounds=2, unroll=False, ns_iters=30)
+    r_ns = solve_boxqp_fixed(P, q, lb, ub, params=base)
+    r_gj = solve_boxqp_fixed(P, q, lb, ub, params=base.replace(kinv="gj"))
+    assert bool(r_ns.converged) and bool(r_gj.converged)
+    np.testing.assert_allclose(np.asarray(r_gj.x), np.asarray(r_ns.x),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_gj.y), np.asarray(r_ns.y),
+                               atol=1e-6)
+
+
+def test_pallas_big_gj_interpret():
+    """boxqp_pallas_big(kinv_method='gj') == the NS form (interpret mode):
+    the hoisted exact inverse is plumbed end to end, scaled and unscaled."""
+    from mpc4quantum_tpu.ops.pallas_qp import boxqp_pallas_big
+
+    rng = np.random.default_rng(6)
+    H, dx, du, B = 4, 2, 2, 3
+    n = H * du
+    lanes = [_random_ltv(rng, H, dx, du, singular_q=False) for _ in range(B)]
+    Ps, qs = [], []
+    for l in lanes:
+        P, q = _condensed_P(*l)
+        Ps.append(P)
+        qs.append(q)
+    P = jnp.asarray(np.stack(Ps), jnp.float32)
+    q = jnp.asarray(np.stack(qs), jnp.float32)
+    lb = jnp.full((B, n), -1.0, jnp.float32)
+    ub = jnp.full((B, n), 1.0, jnp.float32)
+    for scale in (False, True):
+        kw = dict(iters=25, rounds=2, interpret=True, scale=scale)
+        x_ns = boxqp_pallas_big(P, q, lb, ub, ns_iters=40, **kw)
+        x_gj = boxqp_pallas_big(P, q, lb, ub, kinv_method="gj", **kw)
+        np.testing.assert_allclose(np.asarray(x_gj), np.asarray(x_ns),
+                                   atol=2e-5)
 
 
 def test_riccati_batch_matches_per_lane():
