@@ -355,12 +355,17 @@ def main():
         # experiments/confirm_budget_floors_r4b.py). The cold escape hatch
         # (BENCH_WARM_DUALS=0) keeps 3x15 everywhere - only that form is
         # proven with cold steady solves.
+        # BENCH_KINV selects the K-inverse construction (BoxQPParams.kinv:
+        # ns|gj|riccati|riccati_pscan) for BOTH phases; with the big kernel
+        # 'gj' hoists an exact O(n)-op Gauss-Jordan inverse out of the
+        # kernel (the roofline-measured fixed cost, r5_roofline.log)
+        kinv = os.environ.get("BENCH_KINV", "ns")
         cfg = m4q.MPCConfig(horizon=H, n_steps=N_STEPS, dt=DT, dim_u=1, order=ORDER,
                             qp_backend="ns", qp_warm_duals=warm_duals,
                             qp_params=BoxQPParams(max_iter=12 if warm_duals else 15,
-                                                  n_rounds=3))
+                                                  n_rounds=3, kinv=kinv))
         steady_qp = (BoxQPParams(max_iter=10, n_rounds=2,
-                                 accept_abs=4e-3, accept_rel=4e-3)
+                                 accept_abs=4e-3, accept_rel=4e-3, kinv=kinv)
                      if warm_duals else None)
         runner = HostLoopMPC(cfg, SAT, du=DU, plant_step_fn=quantum_step_taylor,
                              warm_sqp_iters=warm_iters, qp_impl=qp_impl,

@@ -172,6 +172,8 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        lqr_seed: bool | None = None,
                        warm_kinv: bool | None = None,
                        kinv: str | None = None,
+                       qp_impl: str | None = None,
+                       plant_impl: str | None = None,
                        checkpoint_path: str | None = None,
                        checkpoint_every: int = 0,
                        progress_every: int = 0,
@@ -358,11 +360,14 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         steady_qp_params=steady_qp_params, qp_kernel=qp_kernel,
         # _pallas_interpret: run the EXACT production kernel programs in
         # Pallas interpret mode on CPU (validation of chip configurations
-        # without the chip; slow - tiny batches only)
-        qp_impl=("pallas" if ((not cpu or _pallas_interpret)
-                              and cfg.solver == "qp") else "xla"),
+        # without the chip; slow - tiny batches only). qp_impl/plant_impl
+        # args override the hardware defaults (A/B probes).
+        qp_impl=(qp_impl if qp_impl is not None
+                 else ("pallas" if ((not cpu or _pallas_interpret)
+                                    and cfg.solver == "qp") else "xla")),
         pallas_interpret=_pallas_interpret,
-        plant_impl="pallas" if (not cpu and is_quantum) else "xla",
+        plant_impl=(plant_impl if plant_impl is not None
+                    else ("pallas" if (not cpu and is_quantum) else "xla")),
     )
 
     # checkpointing applies to the first (potentially resumed) run only:
