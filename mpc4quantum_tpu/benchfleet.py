@@ -104,7 +104,11 @@ PRESET_STEADY_BUDGET = {
                        "ns_iters": 16, "ns_warm": 20},
     "drag_state": {"budget": (1, 19), "scale": True, "ns_iters": 24,
                    # fuse 6: 1.03x within-process at B=2048 (r4_micro3.log)
-                   "fuse": 6},
+                   # kinv gj: exact Gauss-Jordan K-inverse in place of the
+                   # NS chain - 2057 vs 1964 r/s (1.05x) at B=2048, twice
+                   # within one process, fidelity identical (r5_gj.log);
+                   # freq measured a wash (0.99x) and keeps ns
+                   "fuse": 6, "kinv": "gj"},
     "cnot_state": {"budget": (1, 80), "rho0": 1.0, "ns_iters": 20},
     # 2x15 (not the flagship's 2x10): at 2x10 ONE chip lane in 256 fails
     # acceptance by a rounding tail (CPU clean, chip r4 bench session) -
