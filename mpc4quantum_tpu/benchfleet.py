@@ -16,6 +16,7 @@ the workload definitions are its scenario tests
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 
 import numpy as np
@@ -182,6 +183,7 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                        checkpoint_every: int = 0,
                        progress_every: int = 0,
                        rescue: dict | None = None,
+                       expm_budget: str = "auto",
                        _plants=None, _keys=None,
                        _pallas_interpret: bool = False):
     """Run a `batch`-lane detuning-sweep fleet of scenario `sc` end-to-end.
@@ -257,6 +259,34 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
                else synthesis_step_taylor if isinstance(sc.plant, SynthesisPlant)
                else lindblad_step_taylor if isinstance(sc.plant, LindbladPlant)
                else sc.plant_step_fn)
+    # Auto expm budget (round 5): the plant expm is ~19% of the flagship
+    # rollout (experiments/logs/r5_roofline.log) and the library defaults
+    # are sized for ANY norm (Taylor 16 + 4 squarings on the XLA step,
+    # 18 + 12 masked squarings in the Pallas kernel - a 19/30-matmul serial
+    # chain on a latency-bound path). Every preset's worst-case
+    # ||dt*H(u)||_1 over its control box is computable host-side at fleet
+    # build, so run the shortest still-exact chain instead: squarings s.t.
+    # the scaled norm <= 0.8, Horner degree 12 (truncation <= 0.8^13/13!
+    # ~ 9e-12 - below f32 rounding; per-preset error vs Pade measured at
+    # 1e-16..8e-16 in x64, experiments/sweep_expm_budget.py). The x1.3
+    # margin covers the fleet's per-lane detunings (detune_scale ~1%).
+    expm_sq = expm_k = None
+    if expm_budget == "auto":
+        # bound over the BATCHED numpy lane plants (per-lane detunings
+        # included; complex device arrays must not cross the axon host
+        # boundary - `plants` was converted inside the CPU block above)
+        bound = None
+        if is_quantum or isinstance(sc.plant, SynthesisPlant):
+            from .plants.quantum import taylor_norm_bound
+            bound = taylor_norm_bound(plants, sc.config.dt, sc.sat)
+        elif isinstance(sc.plant, LindbladPlant):
+            from .plants.lindblad import lindblad_norm_bound
+            bound = lindblad_norm_bound(plants, sc.config.dt, sc.sat)
+        if bound is not None:
+            expm_sq = max(0, int(np.ceil(np.log2(max(bound, 1e-12) * 1.3 / 0.8))))
+            expm_k = 12
+            step_fn = functools.partial(step_fn, fixed_squarings=expm_sq,
+                                        order=expm_k)
     tuned_rho0 = tuned_ns = None
     if warm_duals is None:
         tuned = PRESET_STEADY_BUDGET.get(sc.name)
@@ -372,6 +402,10 @@ def run_hostloop_fleet(sc, batch: int, key=None, cpu: bool = False,
         pallas_interpret=_pallas_interpret,
         plant_impl=(plant_impl if plant_impl is not None
                     else ("pallas" if (not cpu and is_quantum) else "xla")),
+        # the auto expm budget applies to the Pallas plant kernel too
+        # (same norm-bound contract; (18, 12) defaults otherwise)
+        **({"pallas_max_squarings": expm_sq, "pallas_taylor_k": expm_k}
+           if expm_sq is not None else {}),
     )
 
     # checkpointing applies to the first (potentially resumed) run only:

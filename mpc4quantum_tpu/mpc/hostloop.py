@@ -87,7 +87,8 @@ class HostLoopMPC:
                  steady_qp_params=None,
                  qp_kernel: str = "auto",
                  pallas_interpret: bool = False,
-                 pallas_max_squarings: int = 12):
+                 pallas_max_squarings: int = 12,
+                 pallas_taylor_k: int = 18):
         """:param granularity: "sqp" = four small programs (one per SQP
         iteration + advance; fastest compile, most dispatches); "step" = two
         fused whole-step programs (warm with `warm_sqp_iters` unrolled SQP
@@ -175,7 +176,12 @@ class HostLoopMPC:
         self._kinv_carry = bool(config.qp_warm_kinv and qp_impl == "pallas"
                                 and config.solver == "qp" and kind0 != "small")
         self.pallas_interpret = pallas_interpret
+        # expm kernel budget (plant_impl="pallas"): the serial in-kernel
+        # chain is taylor_k + max_squarings matmuls. The defaults (18, 12)
+        # are the conservative any-norm form; fleet drivers with a host-side
+        # ||dt*H|| bound pass e.g. (12, 0) - see benchfleet's auto budget.
         self.pallas_max_squarings = pallas_max_squarings
+        self.pallas_taylor_k = pallas_taylor_k
         self._lift_fn = lift_fn
         mk = lambda cfg: lambda Q_s, R_s: make_mpc_step(
             cfg, Q_s, R_s, sat, du,
@@ -280,6 +286,7 @@ class HostLoopMPC:
                     * plants.H1s, axis=1)                     # (B, d, d)
                 Us = expm_pallas((-1j * float(self.config.dt)) * Hs,
                                  max_squarings=self.pallas_max_squarings,
+                                 taylor_k=self.pallas_taylor_k,
                                  interpret=self.pallas_interpret)
                 adv_plants = PropagatedPlant(base=plants, U=Us)
             else:

@@ -62,7 +62,7 @@ def _matmul_rows(a_r, a_i, b_r, b_i, d):
 
 
 def _expm_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, d: int, max_squarings: int,
-                 pack: int):
+                 pack: int, taylor_k: int = _TAYLOR_K):
     # batch packed over (pack sublanes x lanes): matrix element row i is the
     # (pack, TB) block at physical rows [i*pack, (i+1)*pack) - full (8, 128)
     # f32 VPU tile utilization (see ops/pallas_qp.py)
@@ -70,25 +70,31 @@ def _expm_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, d: int, max_squarings: int,
     rows_r = [row(ar_ref, i) for i in range(d * d)]
     rows_i = [row(ai_ref, i) for i in range(d * d)]
 
-    # 1-norm per batch element: max_j sum_i |A[i,j]|
-    col_sums = []
-    for j in range(d):
-        s = None
-        for i in range(d):
-            mag = jnp.sqrt(rows_r[i * d + j] ** 2 + rows_i[i * d + j] ** 2)
-            s = mag if s is None else s + mag
-        col_sums.append(s)
-    norm1 = col_sums[0]
-    for s in col_sums[1:]:
-        norm1 = jnp.maximum(norm1, s)
+    if max_squarings > 0:
+        # 1-norm per batch element: max_j sum_i |A[i,j]|
+        col_sums = []
+        for j in range(d):
+            s = None
+            for i in range(d):
+                mag = jnp.sqrt(rows_r[i * d + j] ** 2 + rows_i[i * d + j] ** 2)
+                s = mag if s is None else s + mag
+            col_sums.append(s)
+        norm1 = col_sums[0]
+        for s in col_sums[1:]:
+            norm1 = jnp.maximum(norm1, s)
 
-    # squaring count: ||A/2^s|| <= 1
-    s_cnt = jnp.ceil(jnp.log2(jnp.maximum(norm1, 1.0)))
-    s_cnt = jnp.clip(s_cnt, 0.0, float(max_squarings))
-    scale = jnp.exp2(-s_cnt)
+        # squaring count: ||A/2^s|| <= 1
+        s_cnt = jnp.ceil(jnp.log2(jnp.maximum(norm1, 1.0)))
+        s_cnt = jnp.clip(s_cnt, 0.0, float(max_squarings))
+        scale = jnp.exp2(-s_cnt)
 
-    x_r = [r * scale for r in rows_r]
-    x_i = [r * scale for r in rows_i]
+        x_r = [r * scale for r in rows_r]
+        x_i = [r * scale for r in rows_i]
+    else:
+        # max_squarings == 0: the caller certifies ||A|| <= 1 (host-side
+        # norm bound, plants/quantum.taylor_norm_bound) - no norm, no
+        # scaling, no squaring chain in the kernel at all
+        x_r, x_i = rows_r, rows_i
 
     # Horner Taylor: P = I; for k = K..1: P = I + (X @ P) / k
     zeros = jnp.zeros_like(x_r[0])
@@ -96,7 +102,7 @@ def _expm_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, d: int, max_squarings: int,
     eye_r = [ones if (i % (d + 1) == 0) else zeros for i in range(d * d)]
     eye_i = [zeros] * (d * d)
     p_r, p_i = list(eye_r), list(eye_i)
-    for k in range(_TAYLOR_K, 0, -1):
+    for k in range(taylor_k, 0, -1):
         xp_r, xp_i = _matmul_rows(x_r, x_i, p_r, p_i, d)
         inv_k = 1.0 / float(k)
         p_r = [eye_r[n] + xp_r[n] * inv_k for n in range(d * d)]
@@ -115,16 +121,22 @@ def _expm_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, d: int, max_squarings: int,
 
 
 @functools.partial(jax.jit, static_argnames=("max_squarings", "tile_b", "interpret",
-                                             "sublanes"))
+                                             "sublanes", "taylor_k"))
 def expm_pallas(A, max_squarings: int = 12, tile_b: int = 512, interpret: bool = False,
-                sublanes: int = 8):
+                sublanes: int = 8, taylor_k: int = _TAYLOR_K):
     """Batched expm via the fused Pallas kernel.
 
     :param A: (B, d, d) complex (or real) matrices; d <= 8 recommended
         (the kernel fully unrolls d^3 - compile time grows accordingly).
-    :param max_squarings: static bound on the squaring count.
+    :param max_squarings: static bound on the squaring count. 0 = the
+        caller certifies ||A||_1 <= 1 host-side (taylor_norm_bound): the
+        kernel drops the norm/scale/squaring chain entirely - the
+        latency-bound serial chain shrinks from taylor_k + max_squarings
+        to taylor_k matmuls.
     :param sublanes: batch-packing factor across sublanes (8 = the f32 tile
         height, full VPU utilization; 1 = lanes-only layout).
+    :param taylor_k: Horner Taylor degree. 18 ~ 1e-15 truncation at
+        ||X|| <= 1; 12 ~ 9e-12 at ||X|| <= 0.8 - both below f32 rounding.
     :return: (B, d, d) expm(A), same dtype as A.
     """
     A = jnp.asarray(A)
@@ -145,7 +157,7 @@ def expm_pallas(A, max_squarings: int = 12, tile_b: int = 512, interpret: bool =
     ai = jnp.zeros((d * d, Bp), rdtype).at[:, :B].set(jnp.imag(flat)).reshape(d * d * S, W)
 
     kernel = functools.partial(_expm_kernel, d=d, max_squarings=max_squarings,
-                               pack=S)
+                               pack=S, taylor_k=taylor_k)
     grid = (W // tb,)
     out_r, out_i = pl.pallas_call(
         kernel,

@@ -101,13 +101,29 @@ def lindblad_step(plant: LindbladPlant, x_vec, u, dt):
 
 
 def lindblad_step_taylor(plant: LindbladPlant, x_vec, u, dt,
-                         fixed_squarings: int = 4):
+                         fixed_squarings: int = 4, order: int = 16):
     """lindblad_step with the matmul-only Taylor expm (the TPU-batched form;
     see plants/quantum.quantum_step_taylor for the norm-bound contract -
-    accurate while ||dt A(u)||_1 <= 2^fixed_squarings)."""
+    accurate while ||dt A(u)||_1 <= 2^fixed_squarings; size both budgets
+    host-side via `lindblad_norm_bound`)."""
     uv = jnp.asarray(u).reshape(-1).astype(plant.A1s.real.dtype)
     A = plant.A0 + jnp.sum(uv[:, None, None] * plant.A1s, axis=0)
-    return expm_taylor(dt * A, fixed_squarings=fixed_squarings) @ x_vec.astype(A.dtype)
+    return expm_taylor(dt * A, order=order,
+                       fixed_squarings=fixed_squarings) @ x_vec.astype(A.dtype)
+
+
+def lindblad_norm_bound(plant: LindbladPlant, dt, sat) -> float:
+    """Host-side worst-case ||dt A(u)||_1 over the control box |u| <= sat -
+    the Liouvillian analogue of plants/quantum.taylor_norm_bound, for sizing
+    the Taylor expm budget of `lindblad_step_taylor`."""
+    import numpy as np
+
+    one_norm = lambda M: float(np.max(np.sum(np.abs(np.asarray(M)), axis=-2)))
+    A1s = np.asarray(plant.A1s)  # (..., dim_u, d, d): batched lanes OK
+    sat_v = np.broadcast_to(np.asarray(sat, float), (A1s.shape[-3],))
+    return abs(float(dt)) * (one_norm(plant.A0)
+                             + sum(s * one_norm(A1s[..., k, :, :])
+                                   for k, s in enumerate(sat_v)))
 
 
 def lindblad_simulate(plant: LindbladPlant, x0, us, dt, key=None):

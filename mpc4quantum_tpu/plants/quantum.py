@@ -186,7 +186,7 @@ def quantum_step(plant: QuantumPlant, rho_vec, u, dt):
 
 
 def quantum_step_taylor(plant: QuantumPlant, rho_vec, u, dt,
-                        fixed_squarings: int = 4):
+                        fixed_squarings: int = 4, order: int = 16):
     """quantum_step with the matmul-only Taylor expm (no LU solve and no
     loop primitive in the graph): identical to machine precision while
     ||dt*H||_1 <= 2^fixed_squarings (= 16 at the default), and the form that
@@ -199,13 +199,21 @@ def quantum_step_taylor(plant: QuantumPlant, rho_vec, u, dt,
     is cnot_state at ||dt*H||_1 ~ 1.6); for plants with much larger
     detune/control scales, check ||dt*H||_1 host-side when building the fleet
     (see `taylor_norm_bound`) and raise `fixed_squarings` accordingly - each
-    +1 doubles the norm bound for one extra matmul."""
+    +1 doubles the norm bound for one extra matmul.
+
+    `order` is the Horner Taylor degree (ops/expm.expm_taylor): the serial
+    matmul chain is order-1 + fixed_squarings long, so a host-side norm
+    bound lets the fleet drivers run e.g. order=12/squarings=0 (truncation
+    ~1e-16 at ||dt*H|| <= 0.8) instead of the conservative 16/4 default -
+    an 11-vs-19 matmul chain on a latency-bound path (benchfleet's auto
+    expm budget)."""
     d = plant.dim_s
     # generator assembled with an elementwise multiply-add (dim_u is tiny;
     # a real-u contraction against complex H1s would be a cast-fed dot)
     uv = jnp.asarray(u).reshape(-1)
     H = plant.H0 + jnp.sum(uv[:, None, None] * plant.H1s, axis=0)
-    U = expm_taylor((-1j * dt) * H, fixed_squarings=fixed_squarings)
+    U = expm_taylor((-1j * dt) * H, order=order,
+                    fixed_squarings=fixed_squarings)
     rho = rho_vec.reshape(d, d)
     return (U @ rho @ U.conj().T).reshape(-1)
 
@@ -220,9 +228,13 @@ def taylor_norm_bound(plant, dt, sat) -> float:
     import numpy as np
 
     one_norm = lambda M: float(np.max(np.sum(np.abs(np.asarray(M)), axis=-2)))
-    sat_v = np.broadcast_to(np.asarray(sat, float), (plant.H1s.shape[0],))
+    H1s = np.asarray(plant.H1s)  # (..., dim_u, d, d): batched lanes OK -
+    # pass the fleet's numpy lane batch (complex device arrays cannot cross
+    # the axon host boundary; benchfleet converts inside its CPU block)
+    sat_v = np.broadcast_to(np.asarray(sat, float), (H1s.shape[-3],))
     return abs(float(dt)) * (one_norm(plant.H0)
-                             + sum(s * one_norm(h) for s, h in zip(sat_v, plant.H1s)))
+                             + sum(s * one_norm(H1s[..., k, :, :])
+                                   for k, s in enumerate(sat_v)))
 
 
 def quantum_expectations(plant: QuantumPlant, xs):

@@ -85,7 +85,7 @@ def synthesis_step(plant: SynthesisPlant, p, u, dt):
 
 
 def synthesis_step_taylor(plant: SynthesisPlant, p, u, dt,
-                          fixed_squarings: int = 4):
+                          fixed_squarings: int = 4, order: int = 16):
     """synthesis_step with the matmul-only Taylor expm and an elementwise
     generator assembly (no LU solve, no real->complex cast feeding a dot) -
     the form that batches over scenario lanes on the TPU backend. Accurate
@@ -97,7 +97,8 @@ def synthesis_step_taylor(plant: SynthesisPlant, p, u, dt,
     n = plant.dim_s
     uv = jnp.asarray(u).reshape(-1)
     H = plant.H0 + jnp.sum(uv[:, None, None] * plant.H1s, axis=0)
-    Uk = expm_taylor((-1j * dt) * H, fixed_squarings=fixed_squarings)
+    Uk = expm_taylor((-1j * dt) * H, order=order,
+                     fixed_squarings=fixed_squarings)
     K = jnp.kron(Uk, Uk.conj())
     return (K @ p.reshape(n * n, n * n).astype(K.dtype)).reshape(-1)
 
