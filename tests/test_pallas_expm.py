@@ -72,3 +72,17 @@ def test_hostloop_pallas_plant_impl_plumbing():
     np.testing.assert_allclose(out_p["us"], out_x["us"], atol=1e-4)
     np.testing.assert_allclose(out_p["final_x"], out_x["final_x"], atol=1e-4)
     assert np.max(np.abs(out_x["us"])) > 0.01  # non-vacuous
+
+
+def test_pallas_expm_certified_norm_budget():
+    """max_squarings=0 + taylor_k=12: the norm-bound fleet budget form
+    (benchfleet auto expm budget) - the kernel drops the norm/scale/squaring
+    chain entirely under the caller's ||A||_1 <= 0.8 certificate."""
+    rng = np.random.default_rng(2)
+    A = (rng.normal(size=(4, 3, 3)) + 1j * rng.normal(size=(4, 3, 3)))
+    A = A * (0.75 / np.max(np.sum(np.abs(A), axis=-2), axis=-1)).reshape(4, 1, 1)
+    out = np.asarray(expm_pallas(jnp.asarray(A, jnp.complex64), max_squarings=0,
+                                 taylor_k=12, tile_b=128, interpret=True))
+    for i in range(4):
+        ref = scipy.linalg.expm(A[i])
+        np.testing.assert_allclose(out[i], ref, atol=2e-6 * max(1, np.abs(ref).max()))
