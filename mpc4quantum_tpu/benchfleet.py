@@ -90,10 +90,14 @@ PRESET_STEADY_BUDGET = {
     # The SMALL-kernel presets keep 2 rounds: their steady tails rely on
     # the mid-solve rho re-balance (1x20 collapses not_state to 95% QP
     # failures and not_gate entirely; lindblad's worst lane dips 1e-2).
-    # fuse=6: the round-4 flagship fuse micro-sweep (r4_micro.log +
-    # r4_micro2.log) - 1.065x over fuse 3 at the B=16384 knee, measured
+    # fuse=9 (round 5): with the auto expm budget the 18-step steady phase
+    # in exactly 2 programs beats 3 - 1.06x med over fuse 6, winning both
+    # interleaved rounds (r5_fuse.log); fuse 18 (1 program) is erratic
+    # (0.71x med) and compiles 3x longer - rejected. Round-4 history:
+    # fuse=6 was 1.065x over fuse 3 at the B=16384 knee (r4_micro.log +
+    # r4_micro2.log), measured
     # twice within-process; B=24576 stacking is negative (0.98x).
-    "not_state": {"budget": (2, 10), "ns_iters": 20, "fuse": 6},
+    "not_state": {"budget": (2, 10), "ns_iters": 20, "fuse": 9},
     "not_gate": {"budget": (2, 10), "ns_iters": 20},
     # Round-4b floor ladder (experiments/sweep_budget_floors_r4b.py +
     # confirm_budget_floors_r4b.py, production batches): freq steady 1x40
